@@ -1,0 +1,279 @@
+"""Shared building blocks (NHWC, flax.linen).
+
+Functional re-expressions of the reference's ``modules/_common.py`` blocks:
+ConvNorm (ConvBorINorm, :7-48), RepVGGBlock (:51-145) with the structural
+re-parameterization done as a *pytree fold* (see reparam.py) instead of module
+surgery, RepBlock (:148-158), BiCModule (:161-185), CSPSPPFModule (:188-215).
+
+Design notes (TPU-first):
+- NHWC layouts; convolutions via flax/lax so XLA tiles them onto the MXU.
+- BatchNorm is hand-rolled to carry exact PyTorch semantics (biased variance
+  for normalization, unbiased for the running estimate, momentum = weight of
+  the new batch) so imported reference checkpoints behave identically.
+- bilinear W-axis resize is implemented directly (half-pixel centers, no
+  antialiasing) to match ``nn.Upsample(mode="bilinear")`` exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+conv_kernel_init = nn.initializers.glorot_uniform()  # torch xavier_uniform_
+
+
+def conv_bias_init(key, shape, dtype=jnp.float32):
+    # Reference fills every conv bias with 0.01 (modules/_architecture.py:165-169).
+    return jnp.full(shape, 0.01, dtype)
+
+
+def leaky_relu(x: jax.Array, negative_slope: float = 0.2) -> jax.Array:
+    return jnp.where(x >= 0, x, negative_slope * x)
+
+
+def _pair(v: Union[int, Tuple[int, int]]) -> Tuple[int, int]:
+    if isinstance(v, int):
+        return (v, v)
+    return tuple(v)  # type: ignore[return-value]
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm2d with PyTorch numerics.
+
+    - normalization uses the biased batch variance;
+    - running stats are EMAs with ``momentum`` as the *new-sample* weight and
+      an unbiased variance estimate (torch convention, momentum=0.1);
+    - statistics are accumulated in float32 regardless of compute dtype.
+    """
+
+    momentum: float = 0.1
+    eps: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, use_running_average: bool) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", nn.initializers.zeros, None, (c,), jnp.float32)
+        ra_var = self.variable("batch_stats", "var", nn.initializers.ones, None, (c,), jnp.float32)
+
+        xf = x.astype(jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            n = 1
+            for a in axes:
+                n *= x.shape[a]
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.mean((xf - mean) ** 2, axis=axes)
+            if not self.is_initializing():
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        y = (xf - mean) * inv + bias
+        return y.astype(self.dtype or x.dtype)
+
+
+class Conv2d(nn.Module):
+    """Torch-flavoured conv wrapper: explicit symmetric padding, HWIO kernels."""
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]]
+    strides: Union[int, Tuple[int, int]] = 1
+    padding: Union[int, Tuple[int, int]] = 0
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        ph, pw = _pair(self.padding)
+        return nn.Conv(
+            features=self.features,
+            kernel_size=_pair(self.kernel_size),
+            strides=_pair(self.strides),
+            padding=[(ph, ph), (pw, pw)],
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=conv_kernel_init,
+            bias_init=conv_bias_init,
+            name="conv",
+        )(x)
+
+
+class ConvNorm(nn.Module):
+    """conv -> norm -> optional activation (reference ConvBorINorm,
+    ``modules/_common.py:7-48``; same-padding inferred from kernel size)."""
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]]
+    strides: Union[int, Tuple[int, int]] = 1
+    padding: Optional[Union[int, Tuple[int, int]]] = None
+    use_bias: bool = True
+    act: Optional[Callable[[jax.Array], jax.Array]] = leaky_relu
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        kh, kw = _pair(self.kernel_size)
+        padding = self.padding
+        if padding is None:
+            padding = (kh // 2, kw // 2)
+        x = Conv2d(
+            self.features, (kh, kw), self.strides, padding,
+            use_bias=self.use_bias, dtype=self.dtype, name="conv",
+        )(x)
+        x = BatchNorm(dtype=self.dtype, name="norm")(x, use_running_average=not train)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+class RepVGGBlock(nn.Module):
+    """Train-time 3-branch block: 3x3conv+BN, 1x1conv+BN, identity-BN, summed
+    then LeakyReLU(0.2) (reference ``modules/_common.py:51-95``).
+
+    ``deploy=True`` declares the folded single-conv form; use
+    :func:`audioyolo_tpu.models.reparam.fold_repvgg` to convert a trained
+    params tree into deploy params. Folding at weight-load time keeps inference
+    a single 3x3 conv per block — one MXU pass, no branch concat traffic.
+    """
+
+    features: int
+    strides: Union[int, Tuple[int, int]] = 1
+    deploy: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        if self.deploy:
+            y = Conv2d(
+                self.features, (3, 3), self.strides, 1,
+                use_bias=True, dtype=self.dtype, name="reparam",
+            )(x)
+            return leaky_relu(y)
+
+        in_ch = x.shape[-1]
+        s = _pair(self.strides)
+        y = ConvNorm(
+            self.features, (3, 3), s, padding=1, use_bias=False, act=None,
+            dtype=self.dtype, name="conv3x3",
+        )(x, train)
+        y = y + ConvNorm(
+            self.features, (1, 1), s, padding=0, use_bias=False, act=None,
+            dtype=self.dtype, name="conv1x1",
+        )(x, train)
+        if s == (1, 1) and in_ch == self.features:
+            y = y + BatchNorm(dtype=self.dtype, name="identity")(
+                x, use_running_average=not train
+            )
+        return leaky_relu(y)
+
+
+class RepBlock(nn.Module):
+    """n chained RepVGG blocks (reference ``modules/_common.py:148-158``)."""
+
+    features: int
+    n: int = 2
+    deploy: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        x = RepVGGBlock(self.features, deploy=self.deploy, dtype=self.dtype, name="conv1")(x, train)
+        for i in range(self.n - 1):
+            x = RepVGGBlock(
+                self.features, deploy=self.deploy, dtype=self.dtype, name=f"block{i}"
+            )(x, train)
+        return x
+
+
+def resize_w_bilinear(x: jax.Array, out_w: int) -> jax.Array:
+    """Bilinear resize along the W axis of an NHWC tensor.
+
+    Half-pixel source mapping with the source coordinate clamped at 0 and no
+    antialiasing — exactly ``nn.Upsample(mode="bilinear",
+    align_corners=False)`` restricted to one axis (the neck only ever rescales
+    time; reference ``modules/_common.py:173-174``).
+    """
+    in_w = x.shape[-2]
+    if in_w == out_w:
+        return x
+    scale = in_w / out_w
+    src = jnp.maximum((jnp.arange(out_w, dtype=jnp.float32) + 0.5) * scale - 0.5, 0.0)
+    i0 = jnp.floor(src).astype(jnp.int32)
+    frac = (src - i0.astype(jnp.float32)).astype(x.dtype)
+    i0 = jnp.clip(i0, 0, in_w - 1)
+    i1 = jnp.clip(i0 + 1, 0, in_w - 1)
+    g0 = jnp.take(x, i0, axis=-2)
+    g1 = jnp.take(x, i1, axis=-2)
+    return g0 * (1.0 - frac)[:, None] + g1 * frac[:, None]
+
+
+def max_pool_same(x: jax.Array, k: int = 5) -> jax.Array:
+    """k x k max pool, stride 1, same padding (SPPF pool,
+    reference ``modules/_common.py:199``)."""
+    pad = k // 2
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, k, k, 1),
+        window_strides=(1, 1, 1, 1),
+        padding=((0, 0), (pad, pad), (pad, pad), (0, 0)),
+    )
+
+
+class BiCModule(nn.Module):
+    """Bi-directional Concat fusion (YOLOv6-style; reference
+    ``modules/_common.py:161-185``): lateral 1x1 on the current and shallower
+    maps, x2 / x0.5 bilinear time-rescale, concat, 1x1 out."""
+
+    features: int
+    e: float = 0.5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, c1: jax.Array, c0: jax.Array, p2: jax.Array, train: bool) -> jax.Array:
+        c_h = int(self.features * self.e)
+        c1 = ConvNorm(c_h, 1, dtype=self.dtype, name="conv_c1")(c1, train)
+        c0 = ConvNorm(c_h, 1, dtype=self.dtype, name="conv_c0")(c0, train)
+        c0 = resize_w_bilinear(c0, c0.shape[-2] // 2)
+        p2 = resize_w_bilinear(p2, p2.shape[-2] * 2)
+        y = jnp.concatenate([c1, c0, p2], axis=-1)
+        return ConvNorm(self.features, 1, dtype=self.dtype, name="conv_out")(y, train)
+
+
+class CSPSPPFModule(nn.Module):
+    """CSP split + chained 5x5 SPPF pools on the deepest map (reference
+    ``modules/_common.py:188-215``)."""
+
+    features: int
+    e: float = 0.5
+    pool_k: int = 5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        c_h = int(self.features * self.e)
+        x1 = ConvNorm(c_h, 1, dtype=self.dtype, name="conv1")(x, train)
+        x1 = ConvNorm(c_h, 3, dtype=self.dtype, name="conv3")(x1, train)
+        x1 = ConvNorm(c_h, 1, dtype=self.dtype, name="conv4")(x1, train)
+        y1 = ConvNorm(c_h, 1, dtype=self.dtype, name="conv2")(x, train)
+        p1 = max_pool_same(x1, self.pool_k)
+        p2 = max_pool_same(p1, self.pool_k)
+        p3 = max_pool_same(p2, self.pool_k)
+        z = jnp.concatenate([x1, p1, p2, p3], axis=-1)
+        z = ConvNorm(c_h, 1, dtype=self.dtype, name="conv5")(z, train)
+        z = ConvNorm(c_h, 3, dtype=self.dtype, name="conv6")(z, train)
+        z = jnp.concatenate([z, y1], axis=-1)
+        return ConvNorm(self.features, 1, dtype=self.dtype, name="conv7")(z, train)

@@ -1,0 +1,295 @@
+"""Spectral frontend: waveform -> stacked log-mel + MFCC feature image.
+
+Replaces the reference's torchaudio transform chain
+(``modules/_architecture.py:25-37, 84-108``: Resample -> MelSpectrogram / MFCC
+-> AmplitudeToDB(top_db=80) -> per-sample standardization -> channel concat)
+with a TPU-first formulation: framing is a reshape (hop == n_fft in the shipped
+config) or gather, the rFFT is a GEMM against a window-folded DFT matrix, and
+mel / DCT projections are further GEMMs — the whole frontend is three matmuls
+feeding the MXU plus cheap VPU elementwise work, all under one jit.
+
+All constants (window, DFT, mel filterbank, DCT) are precomputed on host in
+float64 and embedded as float32 compile-time constants. Numerics follow the
+public definitions used by torchaudio (HTK mel scale, Slaney filterbank norm,
+ortho DCT-II, power spectrogram, per-call top_db floor) so that checkpoints
+trained against the reference featurizer transfer at parity.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, load_config
+from .resample import Resampler
+
+
+# --------------------------------------------------------------------------
+# Host-side constant builders (float64 -> float32)
+# --------------------------------------------------------------------------
+
+
+def hann_window(n: int, periodic: bool = True, dtype=np.float32) -> np.ndarray:
+    """Raised-cosine window. ``periodic=True`` matches torch.hann_window default
+    (used inside the STFT); ``periodic=False`` is the symmetric variant (used by
+    the optional input taper, reference ``modules/_architecture.py:89-94``)."""
+    if n == 1:
+        return np.ones(1, dtype=dtype)
+    denom = n if periodic else n - 1
+    k = np.arange(n, dtype=np.float64)
+    return (0.5 * (1.0 - np.cos(2.0 * np.pi * k / denom))).astype(dtype)
+
+
+def dft_power_matrix(n_fft: int, window: np.ndarray, dtype=np.float32) -> np.ndarray:
+    """Window-folded real-DFT matrix, shape ``(n_fft, 2*(n_fft//2+1))``.
+
+    ``frames @ W`` yields ``[Re X_k | Im X_k]`` for the onesided spectrum; the
+    analysis window is pre-multiplied into the matrix so the framed signal needs
+    no separate elementwise pass.
+    """
+    n_freq = n_fft // 2 + 1
+    n = np.arange(n_fft, dtype=np.float64)[:, None]
+    k = np.arange(n_freq, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    cos = np.cos(ang) * window.astype(np.float64)[:, None]
+    sin = -np.sin(ang) * window.astype(np.float64)[:, None]
+    return np.concatenate([cos, sin], axis=1).astype(dtype)
+
+
+def _hz_to_mel(f: np.ndarray, mel_scale: str) -> np.ndarray:
+    f = np.asarray(f, dtype=np.float64)
+    if mel_scale == "htk":
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+    # Slaney mel scale: linear below 1 kHz, log above.
+    f_sp = 200.0 / 3
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = math.log(6.4) / 27.0
+    mel = f / f_sp
+    return np.where(f >= min_log_hz, min_log_mel + np.log(f / min_log_hz) / logstep, mel)
+
+
+def _mel_to_hz(m: np.ndarray, mel_scale: str) -> np.ndarray:
+    m = np.asarray(m, dtype=np.float64)
+    if mel_scale == "htk":
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+    f_sp = 200.0 / 3
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = math.log(6.4) / 27.0
+    freq = f_sp * m
+    return np.where(m >= min_log_mel, min_log_hz * np.exp(logstep * (m - min_log_mel)), freq)
+
+
+def mel_filterbank(
+    n_freqs: int,
+    n_mels: int,
+    sample_rate: int,
+    f_min: float = 0.0,
+    f_max: Optional[float] = None,
+    mel_scale: str = "htk",
+    norm: Optional[str] = "slaney",
+    dtype=np.float32,
+) -> np.ndarray:
+    """Triangular mel filterbank, shape ``(n_freqs, n_mels)``."""
+    f_max = f_max if f_max is not None else sample_rate / 2.0
+    all_freqs = np.linspace(0.0, sample_rate // 2, n_freqs)
+    m_pts = np.linspace(
+        _hz_to_mel(np.array(f_min), mel_scale),
+        _hz_to_mel(np.array(f_max), mel_scale),
+        n_mels + 2,
+    )
+    f_pts = _mel_to_hz(m_pts, mel_scale)
+    f_diff = f_pts[1:] - f_pts[:-1]
+    slopes = f_pts[None, :] - all_freqs[:, None]
+    down = -slopes[:, :-2] / f_diff[:-1]
+    up = slopes[:, 2:] / f_diff[1:]
+    fb = np.maximum(0.0, np.minimum(down, up))
+    if norm == "slaney":
+        enorm = 2.0 / (f_pts[2 : n_mels + 2] - f_pts[:n_mels])
+        fb = fb * enorm[None, :]
+    return fb.astype(dtype)
+
+
+def dct_matrix(n_mfcc: int, n_mels: int, ortho: bool = True, dtype=np.float32) -> np.ndarray:
+    """DCT-II basis, shape ``(n_mels, n_mfcc)``; ``mels @ D`` gives cepstra."""
+    n = np.arange(n_mels, dtype=np.float64)[:, None]
+    k = np.arange(n_mfcc, dtype=np.float64)[None, :]
+    d = 2.0 * np.cos(np.pi / n_mels * (n + 0.5) * k)
+    if ortho:
+        d[:, :1] = d[:, :1] / math.sqrt(2.0)
+        d = d * math.sqrt(1.0 / (2.0 * n_mels))
+    return d.astype(dtype)
+
+
+# --------------------------------------------------------------------------
+# In-graph ops
+# --------------------------------------------------------------------------
+
+
+def frame_signal(x: jax.Array, n_fft: int, hop: int, center: bool, pad_mode: str) -> jax.Array:
+    """(..., samples) -> (..., n_frames, n_fft). Reshape fast-path when frames
+    are contiguous and non-overlapping (the shipped config: hop == n_fft)."""
+    if center:
+        pad = n_fft // 2
+        mode = {"reflect": "reflect", "constant": "constant", "replicate": "edge"}[pad_mode]
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode=mode)
+    n = x.shape[-1]
+    n_frames = 1 + (n - n_fft) // hop
+    if hop == n_fft and n % n_fft == 0:
+        return x.reshape(x.shape[:-1] + (n_frames, n_fft))
+    starts = jnp.arange(n_frames) * hop
+    idx = starts[:, None] + jnp.arange(n_fft)[None, :]
+    return jnp.take(x, idx, axis=-1)
+
+
+def stft_power(
+    x: jax.Array,
+    dft_w: jax.Array,
+    n_fft: int,
+    hop: int,
+    center: bool = False,
+    pad_mode: str = "reflect",
+    power: float = 2.0,
+) -> jax.Array:
+    """(..., samples) -> (..., n_frames, n_freq) power spectrogram via GEMM-DFT."""
+    frames = frame_signal(x.astype(jnp.float32), n_fft, hop, center, pad_mode)
+    spec = jnp.matmul(frames, dft_w, preferred_element_type=jnp.float32)
+    n_freq = n_fft // 2 + 1
+    p = spec[..., :n_freq] ** 2 + spec[..., n_freq:] ** 2
+    if power == 2.0:
+        return p
+    if power == 1.0:
+        return jnp.sqrt(p)
+    return p ** (power / 2.0)
+
+
+def amplitude_to_db(
+    x: jax.Array,
+    top_db: Optional[float] = None,
+    multiplier: float = 10.0,
+    amin: float = 1e-10,
+    ref: float = 1.0,
+) -> jax.Array:
+    """Power/amplitude -> decibels with an optional per-sample dynamic-range
+    floor (semantics of the reference's AmplitudeToDB(top_db=80) at
+    ``modules/_architecture.py:29,100-101``: the floor max is taken per leading
+    batch element over all remaining axes)."""
+    db = multiplier * jnp.log10(jnp.maximum(x, amin))
+    db = db - multiplier * math.log10(max(amin, ref))
+    if top_db is not None:
+        reduce_axes = tuple(range(1, db.ndim))
+        floor = jnp.max(db, axis=reduce_axes, keepdims=True) - top_db
+        db = jnp.maximum(db, floor)
+    return db
+
+
+def standardize_per_channel(x: jax.Array, e: float = 1e-5) -> jax.Array:
+    """Zero-mean/unit-std per (sample, channel) over the trailing two axes,
+    with an unbiased std estimate (reference ``scale_input``,
+    ``modules/_architecture.py:182-189``)."""
+    mu = jnp.mean(x, axis=(-2, -1), keepdims=True)
+    n = x.shape[-2] * x.shape[-1]
+    var = jnp.sum((x - mu) ** 2, axis=(-2, -1), keepdims=True) / max(n - 1, 1)
+    return (x - mu) / (jnp.sqrt(var) + e)
+
+
+# --------------------------------------------------------------------------
+# Composed frontend
+# --------------------------------------------------------------------------
+
+
+class SpectralFrontend:
+    """waveform @ dataset rate -> (B, n_mels, n_frames, 2) NHWC feature image.
+
+    Channel 0 is the log-mel spectrogram, channel 1 the MFCC image, both passed
+    through the 80 dB floor and (optionally) standardized, matching the
+    reference forward at ``modules/_architecture.py:84-108``. The underlying
+    mel power spectrogram is computed once and shared by both branches when the
+    mel/MFCC configs agree (they do in the shipped config).
+    """
+
+    def __init__(self, config=None):
+        cfg = load_config(config) if not isinstance(config, Config) else config
+        self.cfg = cfg
+        mel_cfg = cfg.raw["melspectrogram_config"]
+        mfcc_cfg = cfg.raw["mfcc_config"]
+        self.sr_in = cfg.sample_rate
+        self.sr_model = cfg.new_sample_rate
+        self.resampler = Resampler(self.sr_in, self.sr_model)
+
+        self.n_fft = int(mel_cfg["n_fft"])
+        self.hop = int(mel_cfg.get("hop_length") or self.n_fft)
+        self.win_length = int(mel_cfg.get("win_length") or self.n_fft)
+        self.center = bool(mel_cfg.get("center", True))
+        self.pad_mode = mel_cfg.get("pad_mode", "reflect")
+        self.power = float(mel_cfg.get("power", 2.0))
+        self.n_mels = int(mel_cfg["n_mels"])
+        self.n_mfcc = int(mfcc_cfg["n_mfcc"])
+        self.shared_mel = dict(mfcc_cfg["melkwargs"]) == dict(mel_cfg)
+
+        window = np.zeros(self.n_fft, dtype=np.float64)
+        w = hann_window(self.win_length, periodic=True, dtype=np.float64)
+        off = (self.n_fft - self.win_length) // 2
+        window[off : off + self.win_length] = w
+
+        self.dft_w = jnp.asarray(dft_power_matrix(self.n_fft, window))
+        self.mel_fb = jnp.asarray(
+            mel_filterbank(
+                self.n_fft // 2 + 1,
+                self.n_mels,
+                self.sr_model,
+                mel_scale=mel_cfg.get("mel_scale", "htk"),
+                norm=mel_cfg.get("norm"),
+            )
+        )
+        self.dct_m = jnp.asarray(dct_matrix(self.n_mfcc, self.n_mels, ortho=True))
+
+        self.taper = None
+        if cfg.raw.get("taper_input"):
+            if cfg.raw.get("taper_window", "hann") != "hann":
+                raise NotImplementedError("only hann taper windows are supported")
+            self.taper = jnp.asarray(
+                hann_window(cfg.model_samples, periodic=False, dtype=np.float32)
+            )
+        self.scale_input = bool(cfg.raw.get("scale_input", True))
+
+    def __call__(self, audio: jax.Array) -> jax.Array:
+        """``audio``: (B, S) or (B, 1, S) at the dataset sample rate."""
+        if audio.ndim == 3:
+            audio = audio[:, 0, :]
+        x = self.resampler(audio.astype(jnp.float32))
+        if self.taper is not None:
+            x = x * self.taper[None, :]
+
+        # (B, T, F) power spectrogram -> (B, T, M) mel power.
+        p = stft_power(x, self.dft_w, self.n_fft, self.hop, self.center, self.pad_mode, self.power)
+        mel_power = jnp.matmul(p, self.mel_fb, preferred_element_type=jnp.float32)
+
+        # MFCC branch: log-mel (no floor) -> ortho DCT-II -> outer 80 dB floor.
+        log_mel = amplitude_to_db(mel_power, top_db=None)
+        mfcc = jnp.matmul(log_mel, self.dct_m, preferred_element_type=jnp.float32)
+
+        # Outer AmplitudeToDB(top_db=80) applied to BOTH branches, mirroring
+        # the reference quirk of running MFCC coefficients through a power->dB
+        # map a second time (modules/_architecture.py:100-101).
+        mel_img = amplitude_to_db(mel_power, top_db=80.0)
+        mfcc_img = amplitude_to_db(mfcc, top_db=80.0)
+
+        if self.scale_input:
+            mel_img = standardize_per_channel(mel_img)
+            mfcc_img = standardize_per_channel(mfcc_img)
+
+        # (B, T, M) -> (B, M, T); stack as NHWC channels [mel, mfcc].
+        feat = jnp.stack(
+            [jnp.swapaxes(mel_img, -1, -2), jnp.swapaxes(mfcc_img, -1, -2)], axis=-1
+        )
+        return feat
+
+    @property
+    def out_shape(self):
+        return (self.n_mels, self.cfg.n_frames, 2)
