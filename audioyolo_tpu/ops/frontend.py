@@ -158,7 +158,8 @@ def stft_power(
 ) -> jax.Array:
     """(..., samples) -> (..., n_frames, n_freq) power spectrogram via GEMM-DFT."""
     frames = frame_signal(x.astype(jnp.float32), n_fft, hop, center, pad_mode)
-    spec = jnp.matmul(frames, dft_w, preferred_element_type=jnp.float32)
+    spec = jnp.matmul(frames, dft_w, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     n_freq = n_fft // 2 + 1
     p = spec[..., :n_freq] ** 2 + spec[..., n_freq:] ** 2
     if power == 2.0:
@@ -268,11 +269,13 @@ class SpectralFrontend:
 
         # (B, T, F) power spectrogram -> (B, T, M) mel power.
         p = stft_power(x, self.dft_w, self.n_fft, self.hop, self.center, self.pad_mode, self.power)
-        mel_power = jnp.matmul(p, self.mel_fb, preferred_element_type=jnp.float32)
+        mel_power = jnp.matmul(p, self.mel_fb, preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
 
         # MFCC branch: log-mel (no floor) -> ortho DCT-II -> outer 80 dB floor.
         log_mel = amplitude_to_db(mel_power, top_db=None)
-        mfcc = jnp.matmul(log_mel, self.dct_m, preferred_element_type=jnp.float32)
+        mfcc = jnp.matmul(log_mel, self.dct_m, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
 
         # Outer AmplitudeToDB(top_db=80) applied to BOTH branches, mirroring
         # the reference quirk of running MFCC coefficients through a power->dB

@@ -1,0 +1,132 @@
+"""Layer numerics vs torch oracles: BatchNorm semantics, conv padding,
+bilinear resize, max pool, and RepVGG train/deploy equivalence."""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from audioyolo_tpu.models.layers import (
+    BatchNorm,
+    Conv2d,
+    RepVGGBlock,
+    max_pool_same,
+    resize_w_bilinear,
+)
+from audioyolo_tpu.models.reparam import fold_repvgg
+
+
+def test_batchnorm_train_matches_torch(rng):
+    x = rng.standard_normal((4, 5, 6, 3)).astype(np.float32)  # NHWC
+    bn = BatchNorm()
+    vars_ = bn.init(jax.random.PRNGKey(0), jnp.asarray(x), use_running_average=False)
+    out, mutated = bn.apply(
+        vars_, jnp.asarray(x), use_running_average=False, mutable=["batch_stats"]
+    )
+
+    tbn = torch.nn.BatchNorm2d(3)
+    tbn.train()
+    tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    tout = tbn(tx).detach().numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(out), tout, rtol=1e-4, atol=1e-5)
+    # running stats: torch uses unbiased var with momentum=0.1
+    np.testing.assert_allclose(
+        np.asarray(mutated["batch_stats"]["mean"]), tbn.running_mean.numpy(), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(mutated["batch_stats"]["var"]), tbn.running_var.numpy(), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_batchnorm_eval_uses_running_stats(rng):
+    x = rng.standard_normal((2, 4, 4, 2)).astype(np.float32)
+    bn = BatchNorm()
+    vars_ = bn.init(jax.random.PRNGKey(0), jnp.asarray(x), use_running_average=True)
+    vars_ = jax.tree.map(lambda v: v, vars_)
+    stats = {"mean": jnp.asarray([1.0, -1.0]), "var": jnp.asarray([4.0, 0.25])}
+    out = bn.apply(
+        {"params": vars_["params"], "batch_stats": stats},
+        jnp.asarray(x),
+        use_running_average=True,
+    )
+    ref = (x - np.array([1.0, -1.0])) / np.sqrt(np.array([4.0, 0.25]) + 1e-5)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_conv_same_padding_matches_torch(rng):
+    x = rng.standard_normal((2, 8, 9, 3)).astype(np.float32)
+    conv = Conv2d(4, (3, 7), strides=(1, 2), padding=(1, 3))
+    vars_ = conv.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = np.asarray(conv.apply(vars_, jnp.asarray(x)))
+
+    k = np.asarray(vars_["params"]["conv"]["kernel"])  # HWIO
+    b = np.asarray(vars_["params"]["conv"]["bias"])
+    tk = torch.from_numpy(np.transpose(k, (3, 2, 0, 1)))  # OIHW
+    tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    tout = F.conv2d(tx, tk, torch.from_numpy(b), stride=(1, 2), padding=(1, 3))
+    np.testing.assert_allclose(out, tout.numpy().transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-5)
+
+
+def test_resize_w_matches_torch_bilinear(rng):
+    x = rng.standard_normal((2, 3, 10, 4)).astype(np.float32)  # NHWC
+    tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    for out_w in (20, 5, 7, 13):
+        ours = np.asarray(resize_w_bilinear(jnp.asarray(x), out_w))
+        ref = F.interpolate(tx, size=(3, out_w), mode="bilinear", align_corners=False)
+        np.testing.assert_allclose(
+            ours, ref.numpy().transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-5, err_msg=f"out_w={out_w}"
+        )
+
+
+def test_max_pool_same_matches_torch(rng):
+    x = rng.standard_normal((2, 6, 7, 3)).astype(np.float32)
+    ours = np.asarray(max_pool_same(jnp.asarray(x), 5))
+    tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    ref = F.max_pool2d(tx, kernel_size=5, stride=1, padding=2)
+    np.testing.assert_allclose(ours, ref.numpy().transpose(0, 2, 3, 1), rtol=1e-5, atol=1e-6)
+
+
+def _randomize_stats(vars_, rng):
+    """Give BN running stats non-trivial values so the fold is actually tested."""
+
+    def visit(path, leaf):
+        name = "/".join(str(p.key) for p in path)
+        if name.endswith("mean"):
+            return jnp.asarray(rng.standard_normal(leaf.shape).astype(np.float32))
+        if name.endswith("var"):
+            return jnp.asarray(
+                (0.5 + rng.random(leaf.shape)).astype(np.float32)
+            )
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(visit, vars_)
+
+
+def test_repvgg_fold_equivalence(rng):
+    x = jnp.asarray(rng.standard_normal((2, 8, 16, 12)).astype(np.float32))
+    block = RepVGGBlock(features=12)  # stride 1, in==out -> all 3 branches
+    vars_ = block.init(jax.random.PRNGKey(1), x, train=False)
+    vars_ = _randomize_stats(vars_, rng)
+
+    y_train_form = block.apply(vars_, x, train=False)
+    folded = fold_repvgg(vars_)
+    deploy = RepVGGBlock(features=12, deploy=True)
+    y_deploy = deploy.apply({"params": folded["params"]}, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(y_train_form), np.asarray(y_deploy), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_repvgg_fold_equivalence_strided(rng):
+    x = jnp.asarray(rng.standard_normal((2, 8, 16, 6)).astype(np.float32))
+    block = RepVGGBlock(features=10, strides=(1, 2))  # no identity branch
+    vars_ = block.init(jax.random.PRNGKey(2), x, train=False)
+    vars_ = _randomize_stats(vars_, rng)
+    y_ref = block.apply(vars_, x, train=False)
+    folded = fold_repvgg(vars_)
+    y_dep = RepVGGBlock(features=10, strides=(1, 2), deploy=True).apply(
+        {"params": folded["params"]}, x, train=False
+    )
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_dep), rtol=1e-4, atol=1e-4)
