@@ -1,0 +1,261 @@
+"""Clip dataset with fixed-capacity padded targets.
+
+Host-side port of the reference's indexing/windowing semantics
+(``dataset.py:70-283``) with one idiomatic change for XLA: instead of ragged
+per-clip target lists concatenated at collate time (``dataset.py:277-283``),
+every clip emits a fixed-capacity ``(max_targets,)`` slot array with a
+validity mask, so batches have static shapes.
+
+Preserved reference behaviors:
+- flat and grouped (``group-N``) annotation layouts, including treating each
+  group as its own pseudo-file re-based to ``[0, sample_duration]``
+  (``dataset.py:103-127, 214-255``);
+- files/groups longer than ``sample_duration`` are skipped with a warning
+  (``:184-190, 227-233``);
+- only the annotated span of the wav is read from disk (``:115-120``);
+- multi-channel audio is mono-downmixed by mean (``:133-136``);
+- (start, end) -> (center, width) YOLO convention (``:141-144``);
+- short clips are zero-padded to ``sample_duration`` and an ignore-labelled
+  pad target covering the padded span is appended (``:148-160``).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Any, Dict, Iterable, List, Optional, Tuple, Union
+
+import numpy as np
+
+from .wavio import read_wav
+
+logger = logging.getLogger(__name__)
+
+IGNORE_INDEX = -100
+
+
+class AudioDataset:
+    def __init__(
+        self,
+        audios_path: str,
+        annotations: Dict[str, Any],
+        sample_duration: float = 60,
+        sample_rate: int = 22_050,
+        extension: str = "wav",
+        ignore_index: int = IGNORE_INDEX,
+        max_targets: int = 48,
+    ):
+        self.audios_path = audios_path
+        self.sample_duration = float(sample_duration)
+        self.sample_rate = int(sample_rate)
+        self.extension = extension
+        self.ignore_index = int(ignore_index)
+        self.max_targets = int(max_targets)
+
+        audio_filenames = {
+            name[: -(len(extension) + 1)]
+            for name in os.listdir(audios_path)
+            if name.endswith(f".{extension}")
+        }
+        annotations = {k: v for k, v in annotations.items() if k in audio_filenames}
+
+        if not AudioDataset.is_grouped_annotations(annotations):
+            self._samples, self.class2idx, self.class_counts = self._index_flat(annotations)
+        else:
+            self._samples, self.class2idx, self.class_counts = self._index_grouped(annotations)
+
+    # ---- indexing ------------------------------------------------------
+
+    def _index_flat(self, annotations):
+        samples, classes, counts = [], [], {}
+        for filename, annotation in annotations.items():
+            seg = self._collect_segments(annotation, classes, counts, label=filename)
+            if seg is not None:
+                samples.append({"filename": filename, "segments": seg, "gmin": 0.0})
+        return samples, self._finalize_classes(classes), self._sorted_counts(classes, counts)
+
+    def _index_grouped(self, annotations):
+        samples, classes, counts = [], [], {}
+        for filename, groups in annotations.items():
+            keys = sorted(groups.keys(), key=lambda k: int(k.split("-")[-1]))
+            gmin = 0.0
+            for group in keys:
+                seg = self._collect_segments(
+                    groups[group], classes, counts, label=f"{group} of {filename}"
+                )
+                if seg is not None:
+                    samples.append({"filename": filename, "segments": seg, "gmin": gmin})
+                gmin += self.sample_duration
+        return samples, self._finalize_classes(classes), self._sorted_counts(classes, counts)
+
+    def _collect_segments(self, annotation, classes, counts, label):
+        keys = sorted(annotation.keys())
+        duration = annotation[keys[-1]]["end"] - annotation[keys[0]]["start"]
+        if duration > self.sample_duration:
+            logger.warning(
+                "duration of %s is more than %s and will not be included in the "
+                "processed dataset", label, self.sample_duration,
+            )
+            return None
+        rows = []
+        for key in keys:
+            cls = annotation[key]["class"].strip().replace(" ", "-")
+            if cls not in classes:
+                classes.append(cls)
+            counts[cls] = counts.get(cls, 0) + 1
+            rows.append((float(annotation[key]["start"]), float(annotation[key]["end"]), cls))
+        return rows
+
+    @staticmethod
+    def _finalize_classes(classes: List[str]) -> Dict[str, int]:
+        return {label: i for i, label in enumerate(sorted(classes))}
+
+    @staticmethod
+    def _sorted_counts(classes: List[str], counts: Dict[str, int]) -> Dict[str, int]:
+        return {k: counts[k] for k in sorted(classes)}
+
+    # ---- access --------------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self._samples)
+
+    def __add__(self, other: "AudioDataset") -> "AudioConcatDataset":
+        return AudioConcatDataset([self, other])
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        sample = self._samples[idx]
+        segments = sample["segments"]
+        gmin = sample["gmin"]
+        filepath = os.path.join(self.audios_path, f"{sample['filename']}.{self.extension}")
+
+        audio_start = segments[0][0]
+        audio_end = segments[-1][1]
+        audio, _ = read_wav(
+            filepath,
+            frame_offset=int(audio_start * self.sample_rate),
+            num_frames=int((audio_end - audio_start) * self.sample_rate),
+        )
+        if audio.shape[0] != 1:
+            audio = audio.mean(axis=0, keepdims=True)
+
+        max_samples = int(self.sample_duration * self.sample_rate)
+        if audio.shape[-1] > max_samples:
+            raise ValueError(
+                f"audio sample is longer than {self.sample_duration}s — check that "
+                f"sample_rate={self.sample_rate} matches the files"
+            )
+
+        # group-local times
+        audio_start, audio_end = audio_start - gmin, audio_end - gmin
+
+        n = len(segments)
+        if n + 1 > self.max_targets:
+            raise ValueError(
+                f"clip has {n} events but max_targets={self.max_targets}; raise "
+                "tpu_config.max_targets"
+            )
+        classes = np.zeros(self.max_targets, np.int32)
+        centers = np.zeros(self.max_targets, np.float32)
+        widths = np.zeros(self.max_targets, np.float32)
+        valid = np.zeros(self.max_targets, bool)
+        for i, (s, e, cls) in enumerate(segments):
+            s, e = s - gmin, e - gmin
+            classes[i] = self.class2idx[cls]
+            widths[i] = e - s
+            centers[i] = s + (e - s) / 2.0
+            valid[i] = True
+
+        if audio.shape[-1] < max_samples:
+            pad = np.zeros((1, max_samples - audio.shape[-1]), audio.dtype)
+            audio = np.concatenate([audio, pad], axis=-1)
+            pad_duration = (audio_start + self.sample_duration) - audio_end
+            classes[n] = self.ignore_index
+            centers[n] = audio_end + pad_duration / 2.0
+            widths[n] = pad_duration
+            valid[n] = True
+
+        return {
+            "audio": audio.astype(np.float32),
+            "classes": classes,
+            "centers": centers,
+            "widths": widths,
+            "valid": valid,
+        }
+
+    # ---- utilities -----------------------------------------------------
+
+    def get_class_weights(self) -> np.ndarray:
+        w = np.asarray(list(self.class_counts.values()), np.float32)
+        return w.sum() / (len(w) * w)
+
+    @staticmethod
+    def save_label_map(class2idx: Dict[str, int], _dir: str) -> None:
+        os.makedirs(_dir, exist_ok=True)
+        idx2class = {v: k for k, v in class2idx.items()}
+        with open(os.path.join(_dir, "class_map.json"), "w") as f:
+            json.dump(idx2class, f)
+
+    @staticmethod
+    def is_grouped_annotations(annotations: Dict[str, Any]) -> bool:
+        if not annotations:
+            return False
+        first = next(iter(annotations.values()))
+        keys = list(first.keys())
+        return bool(keys) and keys[0].startswith("group")
+
+    @staticmethod
+    def collate(items: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+        return {k: np.stack([it[k] for it in items], axis=0) for k in items[0]}
+
+
+class AudioConcatDataset:
+    """Concatenation of AudioDatasets with a merged class vocabulary
+    (reference ``dataset.py:14-67``): children are re-keyed onto the union
+    ``class2idx`` so targets stay consistent across sub-datasets."""
+
+    def __init__(self, datasets: Iterable[AudioDataset]):
+        self.datasets = list(datasets)
+        # flatten nested concats
+        flat: List[AudioDataset] = []
+        for d in self.datasets:
+            if isinstance(d, AudioConcatDataset):
+                flat.extend(d.datasets)
+            else:
+                flat.append(d)
+        self.datasets = flat
+        self.class2idx, self.class_counts = self._combine()
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def _combine(self):
+        counts: Dict[str, int] = {}
+        for d in self.datasets:
+            for cls, cnt in d.class_counts.items():
+                counts[cls] = counts.get(cls, 0) + cnt
+        unique = sorted(counts.keys())
+        class2idx = {label: i for i, label in enumerate(unique)}
+        for d in self.datasets:
+            d.class2idx = class2idx
+        return class2idx, {k: counts[k] for k in unique}
+
+    def __len__(self) -> int:
+        return int(self._offsets[-1])
+
+    def __add__(self, other):
+        return AudioConcatDataset([self, other])
+
+    def __getitem__(self, idx: int):
+        di = int(np.searchsorted(self._offsets, idx, side="right") - 1)
+        return self.datasets[di][idx - int(self._offsets[di])]
+
+    def get_class_weights(self) -> np.ndarray:
+        w = np.asarray(list(self.class_counts.values()), np.float32)
+        return w.sum() / (len(w) * w)
+
+    @classmethod
+    def make_combo_dataset(cls, audio_paths, annotations_list, **kwargs):
+        ds = None
+        for path, annotations in zip(audio_paths, annotations_list):
+            nxt = AudioDataset(path, annotations, **kwargs)
+            ds = nxt if ds is None else ds + nxt
+        return ds

@@ -1,0 +1,112 @@
+"""Host-side batch loader with background prefetch.
+
+Replaces torch ``DataLoader(num_workers=...)`` (``train.py:61-67``) with a
+thread-prefetched batcher producing static-shape numpy batch dicts. Audio
+decode is cheap (raw PCM reads); the double-buffered prefetch thread keeps the
+host ahead of the device so the jitted step never waits on IO.
+
+``last_batch`` policies:
+- ``"partial"`` (default, matches the reference) — the final short batch is
+  emitted as-is (costs one extra XLA compilation for the remainder shape);
+- ``"pad"`` — repeat-pad to full batch size with ``valid=False`` targets and
+  a ``clip_valid`` mask (use for sharded multi-chip runs where the leading
+  axis must divide the mesh);
+- ``"drop"`` — drop the remainder.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from .dataset import AudioDataset
+
+
+class BatchLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 42,
+        last_batch: str = "partial",
+        prefetch: int = 2,
+    ):
+        if last_batch not in ("partial", "pad", "drop"):
+            raise ValueError(f"unknown last_batch policy '{last_batch}'")
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.last_batch = last_batch
+        self.prefetch = max(int(prefetch), 0)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.last_batch == "drop":
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _order(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(idx)
+        return idx
+
+    def _make_batch(self, indices) -> Dict[str, np.ndarray]:
+        items = [self.dataset[int(i)] for i in indices]
+        batch = AudioDataset.collate(items)
+        n = len(items)
+        if n < self.batch_size and self.last_batch == "pad":
+            reps = self.batch_size - n
+            batch = {
+                k: np.concatenate([v, np.repeat(v[-1:], reps, axis=0)], axis=0)
+                for k, v in batch.items()
+            }
+            batch["valid"][n:] = False
+            batch["clip_valid"] = np.arange(self.batch_size) < n
+        elif self.last_batch == "pad":
+            batch["clip_valid"] = np.ones(self.batch_size, bool)
+        return batch
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = self._order()
+        self._epoch += 1
+        n = len(order)
+        spans = []
+        for s in range(0, n, self.batch_size):
+            span = order[s : s + self.batch_size]
+            if len(span) < self.batch_size and self.last_batch == "drop":
+                continue
+            spans.append(span)
+
+        if self.prefetch == 0:
+            for span in spans:
+                yield self._make_batch(span)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for span in spans:
+                    q.put(self._make_batch(span))
+            except Exception as exc:  # surface worker errors to the consumer
+                q.put(exc)
+            q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, Exception):
+                raise item
+            yield item
+        t.join()

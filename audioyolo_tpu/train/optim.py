@@ -1,0 +1,135 @@
+"""Optimizer / LR-schedule factories resolved by name from the config.
+
+The reference builds ``torch.optim.<name>`` / ``torch.optim.lr_scheduler.<name>``
+reflectively (``train.py:83-97``); here the same config names map onto optax
+transforms with matching semantics:
+
+- ``Adam`` with ``weight_decay`` is torch-Adam (L2 added to the gradient
+  before the moment updates), not AdamW;
+- schedules are *epoch-indexed* (the reference steps the scheduler once per
+  epoch, ``train.py:183-184``), so factories take ``steps_per_epoch`` and
+  convert the optax step count.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict
+
+import optax
+
+
+def make_lr_schedule(cfg: Dict[str, Any], base_lr: float, steps_per_epoch: int) -> Callable[[int], float]:
+    """Epoch-stepped schedule from an ``lr_scheduler_config`` dict."""
+    name = cfg.get("name", "ConstantLR")
+
+    # Schedules are evaluated inside the jitted train step on a traced step
+    # counter, so everything below is jnp-traceable.
+    import jax.numpy as jnp
+
+    def epochwise(fn):
+        def schedule(step):
+            return fn((step // max(steps_per_epoch, 1)).astype(jnp.float32)
+                      if hasattr(step, "astype")
+                      else float(step // max(steps_per_epoch, 1)))
+
+        return schedule
+
+    if name == "CosineAnnealingWarmRestarts":
+        t0 = int(cfg.get("T_0", 200))
+        t_mult = int(cfg.get("T_mult", 1))
+        eta_min = float(cfg.get("eta_min", 0.0))
+
+        def f(e):
+            if t_mult == 1:
+                t_i, t_cur = float(t0), e % t0
+            else:
+                # completed-cycle count n satisfies
+                # t0*(t_mult^n - 1)/(t_mult-1) <= epoch
+                n = jnp.floor(
+                    jnp.log(jnp.maximum(e / t0 * (t_mult - 1) + 1, 1.0)) / math.log(t_mult)
+                )
+                start = t0 * (t_mult**n - 1) / (t_mult - 1)
+                t_i = t0 * t_mult**n
+                t_cur = e - start
+            return eta_min + (base_lr - eta_min) * (1 + jnp.cos(math.pi * t_cur / t_i)) / 2
+
+        return epochwise(f)
+
+    if name == "CosineAnnealingLR":
+        t_max = int(cfg.get("T_max", 200))
+        eta_min = float(cfg.get("eta_min", 0.0))
+        return epochwise(
+            lambda e: eta_min
+            + (base_lr - eta_min) * (1 + jnp.cos(math.pi * jnp.minimum(e, t_max) / t_max)) / 2
+        )
+
+    if name == "StepLR":
+        step_size = int(cfg.get("step_size", 30))
+        gamma = float(cfg.get("gamma", 0.1))
+        return epochwise(lambda e: base_lr * gamma ** jnp.floor(e / step_size))
+
+    if name == "ExponentialLR":
+        gamma = float(cfg.get("gamma", 0.95))
+        return epochwise(lambda e: base_lr * gamma**e)
+
+    if name in ("ConstantLR", None):
+        return lambda step: base_lr
+
+    raise ValueError(f"unsupported lr scheduler '{name}'")
+
+
+def make_optimizer(
+    optimizer_cfg: Dict[str, Any],
+    lr_scheduler_cfg: Dict[str, Any] | None = None,
+    steps_per_epoch: int = 1,
+    use_lr_scheduler: bool = True,
+) -> optax.GradientTransformation:
+    cfg = dict(optimizer_cfg)
+    name = cfg.pop("name", "Adam")
+    lr = float(cfg.pop("lr", 1e-3))
+    wd = float(cfg.pop("weight_decay", 0.0))
+
+    if use_lr_scheduler and lr_scheduler_cfg:
+        schedule: Any = make_lr_schedule(dict(lr_scheduler_cfg), lr, steps_per_epoch)
+    else:
+        schedule = lr
+
+    if name == "Adam":
+        b1, b2 = cfg.pop("betas", (0.9, 0.999))
+        eps = float(cfg.pop("eps", 1e-8))
+        parts = []
+        if wd:
+            parts.append(optax.add_decayed_weights(wd))  # torch-Adam L2 position
+        parts += [
+            optax.scale_by_adam(b1=float(b1), b2=float(b2), eps=eps),
+            optax.scale_by_learning_rate(schedule),
+        ]
+        return optax.chain(*parts)
+
+    if name == "AdamW":
+        b1, b2 = cfg.pop("betas", (0.9, 0.999))
+        eps = float(cfg.pop("eps", 1e-8))
+        return optax.adamw(schedule, b1=float(b1), b2=float(b2), eps=eps, weight_decay=wd)
+
+    if name == "SGD":
+        momentum = float(cfg.pop("momentum", 0.0))
+        nesterov = bool(cfg.pop("nesterov", False))
+        parts = []
+        if wd:
+            parts.append(optax.add_decayed_weights(wd))
+        if momentum:
+            parts.append(optax.trace(decay=momentum, nesterov=nesterov))
+        parts.append(optax.scale_by_learning_rate(schedule))
+        return optax.chain(*parts)
+
+    if name == "RMSprop":
+        alpha = float(cfg.pop("alpha", 0.99))
+        eps = float(cfg.pop("eps", 1e-8))
+        parts = []
+        if wd:
+            parts.append(optax.add_decayed_weights(wd))
+        parts += [optax.scale_by_rms(decay=alpha, eps=eps), optax.scale_by_learning_rate(schedule)]
+        return optax.chain(*parts)
+
+    raise ValueError(f"unsupported optimizer '{name}'")

@@ -1,0 +1,288 @@
+"""Training engine (reference ``pipeline/_trainer.py:13-127``), TPU-first.
+
+One jitted ``train_step`` owns forward, loss (with in-graph metrics), backward,
+optimizer update, BatchNorm stat updates, and EMA — donated state, no host
+sync inside the epoch loop. Per-batch metric scalars stay on device and are
+materialized once per epoch (the reference's ``.item()``-per-metric-per-batch
+and host sklearn calls are the hot-loop stalls flagged in SURVEY.md §3.1).
+
+Data parallelism: pass a ``jax.sharding.Mesh``; the batch is sharded over its
+``data`` axis and state is replicated, with XLA inserting the gradient
+all-reduce over ICI (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+from typing import Any, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization, struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .ema import EMAState, ema_init, ema_update
+from .loss import AudioDetectionLoss
+
+METRIC_KEYS = (
+    "aggregate_loss", "mean_ciou", "conf_loss", "avg_pos_conf", "avg_neg_conf",
+    "class_loss", "accuracy", "f1", "precision", "recall",
+)
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema: Optional[EMAState]
+    step: jax.Array
+
+
+class TrainerPipeline:
+    def __init__(
+        self,
+        model,
+        loss_fn: AudioDetectionLoss,
+        tx,
+        model_path: str = "saved_model",
+        metrics_path: str = "metrics",
+        ema_config: Optional[Dict[str, Any]] = None,
+        use_ema: bool = False,
+        mesh: Optional[Mesh] = None,
+        data_axis: str = "data",
+        seed: int = 42,
+    ):
+        self.model = model
+        self.loss_fn = loss_fn
+        self.tx = tx
+        self.model_path = model_path
+        self.metrics_path = metrics_path
+        self.use_ema = use_ema
+        self.ema_config = dict(ema_config or {})
+        self.mesh = mesh
+        self.data_axis = data_axis
+        self.base_key = jax.random.PRNGKey(seed)
+        self.saved_model_path = os.path.join(model_path, "AudioDetectionModel.msgpack")
+
+        self._train_metrics: List[Dict[str, float]] = []
+        self._eval_metrics: List[Dict[str, float]] = []
+
+        self._train_step = None
+        self._eval_step = None
+
+    # ---- state ---------------------------------------------------------
+
+    def create_state(self, sample_audio: np.ndarray) -> TrainState:
+        variables = self.model.init(
+            {"params": self.base_key, "dropout": self.base_key},
+            jnp.asarray(sample_audio[:1]),
+            train=False,
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+        ema = None
+        if self.use_ema:
+            ema = ema_init(params, num_updates=int(self.ema_config.get("num_updates", 0)))
+        state = TrainState(
+            params=params, batch_stats=batch_stats, opt_state=opt_state,
+            ema=ema, step=jnp.asarray(0, jnp.int32),
+        )
+        if self.mesh is not None:
+            replicated = NamedSharding(self.mesh, P())
+            state = jax.device_put(state, replicated)
+        return state
+
+    # ---- jitted steps --------------------------------------------------
+
+    def _build_steps(self):
+        model, loss_fn = self.model, self.loss_fn
+        use_ema = self.use_ema
+        ema_momentum = float(self.ema_config.get("momentum", 0.002))
+        ema_n = int(self.ema_config.get("N", 2000))
+        base_key = self.base_key
+
+        def train_step(state: TrainState, audio, targets):
+            rng = jax.random.fold_in(base_key, state.step)
+
+            def compute_loss(params):
+                preds, mutated = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    audio,
+                    train=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": rng},
+                )
+                loss, metrics = loss_fn(preds, targets)
+                return loss, (metrics, mutated["batch_stats"])
+
+            (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+                compute_loss, has_aux=True
+            )(state.params)
+            updates, new_opt_state = self.tx.update(grads, state.opt_state, state.params)
+            new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+            new_ema = state.ema
+            if use_ema:
+                new_ema = ema_update(state.ema, new_params, ema_momentum, ema_n)
+            new_state = state.replace(
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt_state,
+                ema=new_ema,
+                step=state.step + 1,
+            )
+            return new_state, metrics
+
+        def eval_step(state: TrainState, audio, targets):
+            params = state.ema.params if use_ema else state.params
+            preds = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                audio,
+                train=False,
+            )
+            _, metrics = loss_fn(preds, targets)
+            return metrics
+
+        if self.mesh is not None:
+            repl = NamedSharding(self.mesh, P())
+            data = NamedSharding(self.mesh, P(self.data_axis))
+            self._train_step = jax.jit(
+                train_step,
+                in_shardings=(repl, data, data),
+                out_shardings=(repl, repl),
+                donate_argnums=(0,),
+            )
+            self._eval_step = jax.jit(
+                eval_step, in_shardings=(repl, data, data), out_shardings=repl
+            )
+        else:
+            self._train_step = jax.jit(train_step, donate_argnums=(0,))
+            self._eval_step = jax.jit(eval_step)
+
+    def _put_batch(self, batch: Dict[str, np.ndarray]):
+        audio = batch["audio"]
+        targets = {k: batch[k] for k in ("classes", "centers", "widths", "valid")}
+        if self.mesh is not None:
+            data = NamedSharding(self.mesh, P(self.data_axis))
+            audio = jax.device_put(audio, data)
+            targets = {k: jax.device_put(v, data) for k, v in targets.items()}
+        return audio, targets
+
+    # ---- epoch loops ---------------------------------------------------
+
+    def train(self, state: TrainState, loader: Iterable[Dict[str, np.ndarray]], verbose: bool = False):
+        if self._train_step is None:
+            self._build_steps()
+        collected: List[Dict[str, jax.Array]] = []
+        for batch in loader:
+            audio, targets = self._put_batch(batch)
+            state, metrics = self._train_step(state, audio, targets)
+            collected.append(metrics)
+        epoch_metrics = self._reduce(collected)
+        self._train_metrics.append(epoch_metrics)
+        if verbose:
+            self._log("train", epoch_metrics)
+        return state, epoch_metrics
+
+    def evaluate(self, state: TrainState, loader: Iterable[Dict[str, np.ndarray]], verbose: bool = False):
+        if self._eval_step is None:
+            self._build_steps()
+        collected: List[Dict[str, jax.Array]] = []
+        for batch in loader:
+            audio, targets = self._put_batch(batch)
+            collected.append(self._eval_step(state, audio, targets))
+        epoch_metrics = self._reduce(collected)
+        self._eval_metrics.append(epoch_metrics)
+        if verbose:
+            self._log("eval", epoch_metrics)
+        return epoch_metrics
+
+    @staticmethod
+    def _reduce(collected: List[Dict[str, jax.Array]]) -> Dict[str, float]:
+        if not collected:
+            return {k: float("nan") for k in METRIC_KEYS}
+        # single host sync per epoch
+        stacked = {k: np.asarray([m[k] for m in collected], dtype=np.float64) for k in collected[0]}
+        return {k: float(v.mean()) for k, v in stacked.items()}
+
+    @staticmethod
+    def _log(mode: str, metrics: Dict[str, float]):
+        ts = datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+        body = "\t".join(f"{k.replace('_', ' ')}: {v:.4f}" for k, v in metrics.items())
+        print(f"[{ts}] [{mode.title()}]: {body}")
+
+    # ---- checkpointing -------------------------------------------------
+
+    def save_model(self, state: TrainState, path: Optional[str] = None):
+        """Persist the train state; EMA params are saved as the network params
+        when EMA is enabled (reference ``pipeline/_trainer.py:38-47``)."""
+        path = path or self.saved_model_path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        params = state.ema.params if (self.use_ema and state.ema is not None) else state.params
+        payload = {
+            "params": serialization.to_state_dict(params),
+            "batch_stats": serialization.to_state_dict(state.batch_stats),
+            "opt_state": serialization.to_state_dict(state.opt_state),
+            "step": int(state.step),
+        }
+        with open(path, "wb") as f:
+            f.write(serialization.msgpack_serialize(jax.tree.map(np.asarray, payload)))
+
+    def load_model(self, state: TrainState, path: Optional[str] = None) -> TrainState:
+        path = path or self.saved_model_path
+        if not os.path.exists(path):
+            raise OSError(f"model is yet to be saved in path: {path}")
+        with open(path, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        params = serialization.from_state_dict(state.params, payload["params"])
+        batch_stats = serialization.from_state_dict(state.batch_stats, payload["batch_stats"])
+        opt_state = serialization.from_state_dict(state.opt_state, payload["opt_state"])
+        return state.replace(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            step=jnp.asarray(payload.get("step", 0), jnp.int32),
+        )
+
+    # ---- observability -------------------------------------------------
+
+    def metrics_to_csv(self):
+        import pandas as pd
+
+        os.makedirs(self.metrics_path, exist_ok=True)
+        pd.DataFrame(self._train_metrics).to_csv(
+            os.path.join(self.metrics_path, "train_metrics.csv"), index=False
+        )
+        pd.DataFrame(self._eval_metrics).to_csv(
+            os.path.join(self.metrics_path, "eval_metrics.csv"), index=False
+        )
+
+    def save_metrics_plots(self, figsize=(25, 10)):
+        for mode in ("train", "eval"):
+            self._save_plot(mode, figsize)
+
+    def _save_plot(self, mode: str, figsize):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import pandas as pd
+        from matplotlib import pyplot as plt
+
+        df = pd.DataFrame(getattr(self, f"_{mode}_metrics"))
+        if df.empty:
+            return
+        fig, axs = plt.subplots(len(df.columns), 1, figsize=figsize)
+        if len(df.columns) == 1:
+            axs = [axs]
+        for i, col in enumerate(df.columns):
+            label = col.replace("_", " ").title()
+            axs[i].plot(df[col].to_numpy())
+            axs[i].grid(visible=True)
+            axs[i].set_xlabel("Epoch")
+            axs[i].set_ylabel(label)
+            axs[i].set_title(f"[{mode.title()}] {label} vs Epoch")
+        os.makedirs(self.metrics_path, exist_ok=True)
+        fig.savefig(os.path.join(self.metrics_path, f"{mode}_metrics_plot.jpg"))
+        plt.close(fig)
