@@ -1,0 +1,115 @@
+"""Jitted inference decode: model forward + NMS + fixed-K compaction.
+
+Equivalent of the reference's ``process_model_outputs`` (``inference.py:42-110``)
+but fully in-graph: one compiled XLA program takes a waveform batch and returns
+fixed-capacity detection arrays (confidence, objectness, class, center, width,
+valid), so the host only does trivial masking/ordering per clip.
+
+The survivors are compacted to the front of a ``keep_k`` capacity axis by
+sorting on ``(survived, confidence)`` — no data-dependent shapes anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.nms import batched_interval_nms
+
+
+def detection_postprocess_graph(
+    preds: jax.Array,
+    iou_threshold: float,
+    conf_threshold: float,
+    sample_duration: float,
+    keep_k: int,
+) -> Dict[str, jax.Array]:
+    """(B, K, 3+C) combined predictions -> fixed-(B, keep_k) detection dict."""
+    order, keep, conf = batched_interval_nms(
+        preds, iou_threshold, conf_threshold, sample_duration
+    )
+    # Compact survivors first (by confidence), then everything else.
+    composite = keep.astype(jnp.float32) * 2.0 + conf
+    pos = jnp.argsort(-composite, axis=-1)[:, :keep_k]
+    idx = jnp.take_along_axis(order, pos, axis=-1)  # original proposal ids
+    valid = jnp.take_along_axis(keep, pos, axis=-1)
+    confidence = jnp.take_along_axis(conf, pos, axis=-1)
+
+    sel = jnp.take_along_axis(preds, idx[..., None], axis=1)  # (B, keep_k, 3+C)
+    objectness = jax.nn.sigmoid(sel[..., 0])
+    class_idx = jnp.argmax(sel[..., 1:-2], axis=-1)
+    centers = jnp.clip(sel[..., -2], 0.0, sample_duration)
+    widths = jnp.clip(sel[..., -1], 0.0, sample_duration)
+    return {
+        "confidence": confidence,
+        "objectness": objectness,
+        "class_idx": class_idx.astype(jnp.int32),
+        "center": centers,
+        "width": widths,
+        "valid": valid,
+    }
+
+
+def make_inference_fn(
+    model,
+    variables: Dict[str, Any],
+    iou_threshold: float = 0.1,
+    conf_threshold: float = 0.2,
+    keep_k: int = 128,
+) -> Callable[[jax.Array], Dict[str, jax.Array]]:
+    """Build the jitted waveform -> detections function.
+
+    ``model`` should normally be the ``deploy=True`` (RepVGG-folded) model with
+    folded variables — the reference ships but never invokes its fold at
+    inference (``inference.py`` note in SURVEY.md §3.3); we fold by default at
+    weight load.
+    """
+    duration = float(model.cfg.sample_duration)
+
+    @jax.jit
+    def infer(audio: jax.Array) -> Dict[str, jax.Array]:
+        preds = model.apply(variables, audio, train=False, combine_scales=True)
+        return detection_postprocess_graph(
+            preds, iou_threshold, conf_threshold, duration, keep_k
+        )
+
+    return infer
+
+
+def postprocess_detections(
+    dets: Dict[str, np.ndarray],
+    sample_duration: float,
+    return_start_end: bool = True,
+) -> list:
+    """Host-side: fixed arrays -> per-clip lists of detection rows sorted by
+    center (reference ``inference.py:91-110``). Each row:
+    ``(confidence, objectness_logit? -> objectness, class_idx, start, end)``
+    (or center/width when ``return_start_end=False``)."""
+    out = []
+    b = dets["valid"].shape[0]
+    for i in range(b):
+        v = dets["valid"][i]
+        rows = []
+        for j in np.nonzero(v)[0]:
+            c, w = float(dets["center"][i, j]), float(dets["width"][i, j])
+            if return_start_end:
+                start = min(max(c - w / 2.0, 0.0), sample_duration)
+                end = min(max(c + w / 2.0, 0.0), sample_duration)
+                t0, t1 = start, end
+            else:
+                t0, t1 = c, w
+            rows.append(
+                (
+                    float(dets["confidence"][i, j]),
+                    float(dets["objectness"][i, j]),
+                    int(dets["class_idx"][i, j]),
+                    t0,
+                    t1,
+                )
+            )
+        rows.sort(key=lambda r: (r[3] + r[4]) / 2.0 if return_start_end else r[3])
+        out.append(rows)
+    return out

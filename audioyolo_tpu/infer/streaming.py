@@ -1,0 +1,146 @@
+"""Long-form streaming evaluation (reference ``inference.py:113-209``).
+
+Reads arbitrarily long audio in ``batch_size * sample_duration`` chunks,
+windows each chunk into a batch of fixed 60 s clips, runs the jitted
+detector+NMS graph, re-globalizes event times by clip offset, RLE-merges
+consecutive same-class events, and writes one ``{start, end, class}`` CSV per
+file. Chunk batches are padded to the full batch size so XLA compiles exactly
+one shape.
+
+Intended-behavior fixes over the reference (documented deviations):
+- output directory nesting no longer crashes on deep paths
+  (``inference.py:203`` compares a list to an int);
+- the last partial chunk is masked out rather than producing phantom
+  detections from all-zero padded clips (the padded clips still run through
+  the model, but their rows are dropped).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from datetime import timedelta
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from ..data.wavio import read_wav, read_wav_info
+from ..ops.resample import Resampler
+from .decode import postprocess_detections
+
+
+def rle_merge(rows: List[dict]) -> List[dict]:
+    """Merge consecutive same-class events (reference ``inference.py:186-195``:
+    the merge is purely class-adjacency based — time gaps do not split)."""
+    out: List[dict] = []
+    for row in rows:
+        if out and out[-1]["class"] == row["class"]:
+            out[-1]["end"] = row["end"]
+        else:
+            out.append(dict(row))
+    return out
+
+
+def evaluate_audio(
+    infer_fn: Callable,
+    audio_filepath: str,
+    output_dir: str,
+    input_sample_rate: int,
+    sample_duration: float,
+    batch_size: int,
+    idx2class_map: Dict[int, str],
+    return_rows: bool = False,
+    _resampler_cache: Optional[dict] = None,
+) -> Optional[List[dict]]:
+    """Stream one file through the detector; writes ``<name>_results.csv``.
+
+    ``infer_fn``: jitted function (B, 1, S)@input_sample_rate -> detection dict
+    (see decode.make_inference_fn). IoU/confidence thresholds are baked into
+    the compiled function.
+    """
+    og_rate, total_frames, _ = read_wav_info(audio_filepath)
+    sample_size = int(sample_duration * og_rate)
+    model_sample_size = int(sample_duration * input_sample_rate)
+    chunk_frames = batch_size * sample_size
+
+    resampler = None
+    if og_rate != input_sample_rate:
+        cache = _resampler_cache if _resampler_cache is not None else {}
+        key = (og_rate, input_sample_rate)
+        if key not in cache:
+            cache[key] = Resampler(og_rate, input_sample_rate)
+        resampler = cache[key]
+
+    all_rows: List[dict] = []
+    clip_offset = 0
+    start_frame = 0
+    while start_frame < total_frames:
+        audio, _ = read_wav(audio_filepath, frame_offset=start_frame, num_frames=chunk_frames)
+        if audio.shape[-1] == 0:
+            break
+        if audio.shape[0] != 1:
+            audio = audio.mean(axis=0, keepdims=True)
+        n = audio.shape[-1]
+        nclips = math.ceil(n / sample_size)
+        pad = nclips * sample_size - n
+        if pad:
+            audio = np.pad(audio, ((0, 0), (0, pad)))
+        clips = audio.reshape(nclips, 1, sample_size)
+        if nclips < batch_size:  # keep one static shape for XLA
+            clips = np.concatenate(
+                [clips, np.zeros((batch_size - nclips, 1, sample_size), np.float32)], axis=0
+            )
+
+        x = clips.astype(np.float32)
+        if resampler is not None:
+            import jax.numpy as jnp
+
+            x = np.asarray(resampler(jnp.asarray(x)))
+            if x.shape[-1] != model_sample_size:  # defensive clamp/pad
+                if x.shape[-1] > model_sample_size:
+                    x = x[..., :model_sample_size]
+                else:
+                    x = np.pad(x, ((0, 0), (0, 0), (0, model_sample_size - x.shape[-1])))
+
+        dets = {k: np.asarray(v) for k, v in infer_fn(x).items()}
+        per_clip = postprocess_detections(dets, sample_duration, return_start_end=True)
+        for ci in range(nclips):  # padded clips are dropped here
+            base = (clip_offset + ci) * sample_duration
+            for conf, obj, cls, start, end in per_clip[ci]:
+                all_rows.append(
+                    {
+                        "confidence": conf,
+                        "objectness": obj,
+                        "class_idx": cls,
+                        "start": base + start,
+                        "end": base + end,
+                    }
+                )
+        clip_offset += nclips
+        start_frame += chunk_frames
+
+    rows = [
+        {
+            "start": timedelta(seconds=round(r["start"], 2)),
+            "end": timedelta(seconds=round(r["end"], 2)),
+            "class": idx2class_map[r["class_idx"]],
+        }
+        for r in all_rows
+    ]
+    merged = rle_merge(rows)
+
+    if return_rows:
+        return all_rows
+
+    parts = os.path.normpath(audio_filepath).split(os.sep)
+    filename = ".".join(parts[-1].split(".")[:-1]) or parts[-1]
+    if len(parts) >= 2 and parts[-2] not in ("", ".", os.sep):
+        output_dir = os.path.join(output_dir, parts[-2])
+    os.makedirs(output_dir, exist_ok=True)
+
+    import pandas as pd
+
+    pd.DataFrame(merged, columns=["start", "end", "class"]).to_csv(
+        os.path.join(output_dir, f"{filename}_results.csv"), index=False
+    )
+    return None

@@ -7,13 +7,16 @@ conv. The reference mutates modules in place; here the fold is a pure function
 ``(params, batch_stats) -> deploy_params`` consumed by a ``deploy=True`` model,
 which suits JAX (weights are data, folding happens once at load time, and the
 compiled inference graph only ever contains the single-conv form).
+
+The fold itself runs in host numpy: it is weight-load-time work, and doing it
+op-by-op on a (possibly remote) accelerator wastes minutes of dispatch for a
+few MB of arithmetic.
 """
 
 from __future__ import annotations
 
 from typing import Any, Dict, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 BN_EPS = 1e-5
@@ -24,12 +27,12 @@ def _merge_conv_bn(kernel, bn: Dict[str, Any], stats: Dict[str, Any]):
 
     Returns (kernel', bias'): y = conv(x, k)*g/std - mu*g/std + b.
     """
-    gamma = bn["scale"]
-    beta = bn["bias"]
-    mu = stats["mean"]
-    var = stats["var"]
-    std = jnp.sqrt(var + BN_EPS)
-    k = kernel * (gamma / std)[None, None, None, :]
+    gamma = np.asarray(bn["scale"])
+    beta = np.asarray(bn["bias"])
+    mu = np.asarray(stats["mean"])
+    var = np.asarray(stats["var"])
+    std = np.sqrt(var + BN_EPS)
+    k = np.asarray(kernel) * (gamma / std)[None, None, None, :]
     b = beta - mu * gamma / std
     return k, b
 
@@ -47,14 +50,14 @@ def _fold_block(params: Dict[str, Any], stats: Dict[str, Any]) -> Dict[str, Any]
         stats["conv1x1"]["norm"],
     )
     # Pad the 1x1 kernel into the center tap of a 3x3 kernel.
-    k1 = jnp.pad(k1, ((1, 1), (1, 1), (0, 0), (0, 0)))
+    k1 = np.pad(k1, ((1, 1), (1, 1), (0, 0), (0, 0)))
     k = k3 + k1
     b = b3 + b1
     if "identity" in params:
         in_ch = k3.shape[2]
-        eye = jnp.eye(in_ch, dtype=k3.dtype)[None, None, :, :]  # dirac 1x1, HWIO
+        eye = np.eye(in_ch, dtype=k3.dtype)[None, None, :, :]  # dirac 1x1, HWIO
         ki, bi = _merge_conv_bn(eye, params["identity"], stats["identity"])
-        k = k + jnp.pad(ki, ((1, 1), (1, 1), (0, 0), (0, 0)))
+        k = k + np.pad(ki, ((1, 1), (1, 1), (0, 0), (0, 0)))
         b = b + bi
     return {"reparam": {"conv": {"kernel": k, "bias": b}}}
 

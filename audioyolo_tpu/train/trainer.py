@@ -75,10 +75,15 @@ class TrainerPipeline:
     # ---- state ---------------------------------------------------------
 
     def create_state(self, sample_audio: np.ndarray) -> TrainState:
-        variables = self.model.init(
+        # jit the initializer: eager init dispatches hundreds of tiny ops to
+        # the device one by one (minutes on a remote TPU); compiled it is one
+        # program.
+        init_fn = jax.jit(
+            lambda rngs, x: self.model.init(rngs, x, train=False)
+        )
+        variables = init_fn(
             {"params": self.base_key, "dropout": self.base_key},
             jnp.asarray(sample_audio[:1]),
-            train=False,
         )
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})

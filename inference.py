@@ -1,0 +1,140 @@
+"""Inference entry point (CLI surface of reference ``inference.py:239-325``).
+
+Loads a trained checkpoint, folds every RepVGG block into its single-conv
+deploy form (the reference ships this fold but never invokes it from its CLI —
+SURVEY.md §3.3; here it is the default), compiles one waveform->detections XLA
+graph, and streams single files or directories into per-file
+``{start, end, class}`` CSVs.
+
+Fixed reference quirks (documented): ``--iou_threshold``/``--conf_threshold``
+are floats (the reference declared them ``type=int``, truncating CLI values,
+``inference.py:288,292``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from audioyolo_tpu.config import load_config
+from audioyolo_tpu.infer import evaluate_audio, evaluate_dir, make_inference_fn
+from audioyolo_tpu.models import AudioDetectionModel, fold_repvgg
+
+
+def get_label_map(path: str):
+    with open(path, "r") as f:
+        return {int(k): v for k, v in json.load(f).items()}
+
+
+def load_model_variables(model: AudioDetectionModel, model_path: str):
+    """Restore {params, batch_stats} from a trainer checkpoint (msgpack) or a
+    reference PyTorch ``.pth``/``.pth.tar`` checkpoint (name-mapped import)."""
+    if not os.path.isfile(model_path):
+        raise FileNotFoundError(f"path: {model_path} does not exist")
+    import jax
+
+    # eval_shape: structure only, no device compute (restoring needs just the
+    # pytree skeleton to validate the payload against)
+    template = jax.eval_shape(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((1, 1, model.cfg.clip_samples), jnp.float32),
+            train=False,
+        )
+    )
+    if model_path.endswith((".pth", ".pth.tar", ".pt")):
+        from audioyolo_tpu.models.import_torch import (
+            import_torch_state_dict,
+            load_torch_checkpoint,
+        )
+
+        return import_torch_state_dict(load_torch_checkpoint(model_path), template)
+
+    with open(model_path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    params = serialization.from_state_dict(template["params"], payload["params"])
+    batch_stats = serialization.from_state_dict(
+        template.get("batch_stats", {}), payload.get("batch_stats", {})
+    )
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def build_inference(cfg, num_classes, model_path, iou_threshold, conf_threshold,
+                    fold: bool = True, dtype=None):
+    train_model = AudioDetectionModel.from_config(cfg, num_classes=num_classes, dtype=dtype)
+    variables = load_model_variables(train_model, model_path)
+    if fold:
+        variables = fold_repvgg(variables)
+        model = AudioDetectionModel.from_config(
+            cfg, num_classes=num_classes, deploy=True, dtype=dtype
+        )
+    else:
+        model = train_model
+    keep_k = int(cfg.raw.get("tpu_config", {}).get("nms_keep", 128))
+    return make_inference_fn(model, variables, iou_threshold, conf_threshold, keep_k)
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Audio model inference")
+    parser.add_argument("--config", type=str, default="config/config.yaml", metavar="")
+    parser.add_argument("--class_map_path", type=str, default="", metavar="")
+    parser.add_argument("--model_path", type=str, default="", metavar="")
+    parser.add_argument("--batch_size", type=int, default=0, metavar="",
+                        help="windows per device batch (0 -> config batch_size)")
+    parser.add_argument("--audio_filepath", type=str, default="", metavar="")
+    parser.add_argument("--audio_dir", type=str,
+                        default=os.path.join("dataset", "openbmat", "eval"), metavar="")
+    parser.add_argument("--extension", type=str, default="wav", metavar="")
+    parser.add_argument("--output_dir", type=str, default="model_predictions", metavar="")
+    parser.add_argument("--num_concurrency", type=int, default=10, metavar="")
+    parser.add_argument("--iou_threshold", type=float, default=0.1, metavar="")
+    parser.add_argument("--conf_threshold", type=float, default=0.2, metavar="")
+    parser.add_argument("--no_fold", action="store_true",
+                        help="run the unfused multi-branch RepVGG form")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 compute for the detector body")
+    args = parser.parse_args()
+
+    cfg = load_config(args.config)
+    tc = cfg.raw["train_config"]
+    class_map_path = args.class_map_path or os.path.join(tc["class_map_path"], "class_map.json")
+    model_path = args.model_path or os.path.join(tc["model_path"], "AudioDetectionModel.msgpack")
+    batch_size = args.batch_size or int(tc["batch_size"])
+
+    if not os.path.isfile(class_map_path):
+        raise FileNotFoundError(f"{class_map_path} does not exist")
+    idx2class = get_label_map(class_map_path)
+
+    infer_fn = build_inference(
+        cfg, len(idx2class), model_path, args.iou_threshold, args.conf_threshold,
+        fold=not args.no_fold, dtype=jnp.bfloat16 if args.bf16 else None,
+    )
+    kwargs = dict(
+        input_sample_rate=cfg.sample_rate,
+        sample_duration=cfg.sample_duration,
+        batch_size=batch_size,
+        idx2class_map=idx2class,
+    )
+    if args.audio_filepath:
+        if not os.path.isfile(args.audio_filepath):
+            raise FileNotFoundError(f"{args.audio_filepath} not found")
+        os.makedirs(args.output_dir, exist_ok=True)
+        evaluate_audio(infer_fn, args.audio_filepath, args.output_dir, **kwargs)
+    else:
+        if not os.path.isdir(args.audio_dir):
+            raise OSError(f"directory {args.audio_dir} not found")
+        evaluate_dir(
+            infer_fn, args.audio_dir, args.output_dir,
+            extension=args.extension.replace(".", ""),
+            num_concurrency=args.num_concurrency,
+            **kwargs,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -19,6 +19,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the model-level tests compile several large
+# CPU executables (~1 min each on this single-core host); caching makes every
+# rerun of the suite start-to-finish fast.
+_cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "audioyolo_jax_test_cache")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

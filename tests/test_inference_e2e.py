@@ -1,0 +1,149 @@
+"""End-to-end inference: train a tiny detector on synthetic tones, fold the
+RepVGG blocks, stream a long file, and check the CSV event rows are
+monotonically ordered and RLE-merged (SURVEY.md §4 item 3)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax.numpy as jnp
+
+from audioyolo_tpu.data.dataset import AudioDataset
+from audioyolo_tpu.data.loader import BatchLoader
+from audioyolo_tpu.data.wavio import write_wav
+from audioyolo_tpu.infer import evaluate_audio, evaluate_dir, make_inference_fn, rle_merge
+from audioyolo_tpu.infer.eval_map import event_average_precision, event_map
+from audioyolo_tpu.models import AudioDetectionModel, fold_repvgg
+from audioyolo_tpu.train import AudioDetectionLoss, TrainerPipeline, make_optimizer
+
+from synth import CLASS_FREQS, make_flat_dataset, synth_clip
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    """Train briefly on synthetic data; return (cfg_dict, model, variables, class2idx)."""
+    import copy
+
+    from conftest import TINY_CFG
+    from audioyolo_tpu.config import Config
+
+    cfg = Config(copy.deepcopy(TINY_CFG))
+    root = str(tmp_path_factory.mktemp("train_ds"))
+    ann = make_flat_dataset(root, n_files=6, seed=21)
+    ds = AudioDataset(root, ann, sample_duration=4, sample_rate=8000, max_targets=8)
+    loader = BatchLoader(ds, 2, shuffle=True, seed=0)
+    model = AudioDetectionModel.from_config(cfg, num_classes=len(ds.class2idx))
+    loss_fn = AudioDetectionLoss(
+        cfg.raw["anchors"], len(ds.class2idx), sample_duration=4,
+        multi_label=True, label_smoothing=0.08, box_w=0.1, class_w=0.3, anchor_t=5,
+    )
+    tx = make_optimizer(cfg.raw["train_config"]["optimizer_config"], None, len(loader))
+    trainer = TrainerPipeline(model, loss_fn, tx, metrics_path="/tmp/ig", model_path="/tmp/ig")
+    state = trainer.create_state(ds[0]["audio"][None])
+    for _ in range(3):
+        state, _ = trainer.train(state, loader)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    return cfg, model, variables, ds.class2idx
+
+
+def test_fold_full_model_equivalence(trained):
+    cfg, model, variables, class2idx = trained
+    x = jnp.asarray(
+        synth_clip(8000, 4.0, [(0.5, 1.5, "tone")], seed=3)[None, None, :]
+    )
+    y_train_form = model.apply(variables, x, train=False, combine_scales=True)
+    folded = fold_repvgg(variables)
+    deploy = AudioDetectionModel.from_config(cfg, num_classes=len(class2idx), deploy=True)
+    y_deploy = deploy.apply(folded, x, train=False, combine_scales=True)
+    np.testing.assert_allclose(
+        np.asarray(y_train_form), np.asarray(y_deploy), rtol=5e-3, atol=5e-3
+    )
+
+
+def test_streaming_long_file(trained, tmp_path):
+    cfg, model, variables, class2idx = trained
+    idx2class = {v: k for k, v in class2idx.items()}
+
+    # 20 s file = 5 windows of 4 s, alternating tone/beep events
+    segs = [(1.0, 2.2, "tone"), (5.0, 6.0, "beep"), (9.3, 10.6, "tone"),
+            (13.0, 14.0, "beep"), (17.2, 18.4, "tone")]
+    x = synth_clip(8000, 20.0, segs, seed=5)
+    path = str(tmp_path / "long.wav")
+    write_wav(path, x, 8000)
+
+    folded = fold_repvgg(variables)
+    deploy = AudioDetectionModel.from_config(cfg, num_classes=len(class2idx), deploy=True)
+    infer_fn = make_inference_fn(deploy, folded, iou_threshold=0.1, conf_threshold=0.05, keep_k=32)
+
+    out_dir = str(tmp_path / "preds")
+    evaluate_audio(
+        infer_fn, path, out_dir,
+        input_sample_rate=8000, sample_duration=4.0, batch_size=2,
+        idx2class_map=idx2class,
+    )
+    csvs = []
+    for root, _, files in os.walk(out_dir):
+        csvs += [os.path.join(root, f) for f in files if f.endswith(".csv")]
+    assert len(csvs) == 1
+    df = pd.read_csv(csvs[0])
+    assert list(df.columns) == ["start", "end", "class"]
+    if len(df):
+        starts = pd.to_timedelta(df["start"]).dt.total_seconds().to_numpy()
+        ends = pd.to_timedelta(df["end"]).dt.total_seconds().to_numpy()
+        assert (np.diff(starts) >= -1e-6).all(), "rows must be time-ordered"
+        assert (ends >= starts - 1e-6).all()
+        # RLE merge: no two consecutive rows share a class
+        cls = df["class"].tolist()
+        assert all(a != b for a, b in zip(cls, cls[1:]))
+
+
+def test_evaluate_dir_fanout(trained, tmp_path):
+    cfg, model, variables, class2idx = trained
+    idx2class = {v: k for k, v in class2idx.items()}
+    adir = tmp_path / "clips"
+    adir.mkdir()
+    for i in range(3):
+        x = synth_clip(8000, 8.0, [(1.0 + i, 2.0 + i, "tone")], seed=i)
+        write_wav(str(adir / f"f{i}.wav"), x, 8000)
+    folded = fold_repvgg(variables)
+    deploy = AudioDetectionModel.from_config(cfg, num_classes=len(class2idx), deploy=True)
+    infer_fn = make_inference_fn(deploy, folded, 0.1, 0.05, keep_k=32)
+    out = str(tmp_path / "out")
+    n = evaluate_dir(
+        infer_fn, str(adir), out, extension="wav", num_concurrency=2, verbose=False,
+        input_sample_rate=8000, sample_duration=4.0, batch_size=2, idx2class_map=idx2class,
+    )
+    assert n == 3
+    found = [f for _, _, fs in os.walk(out) for f in fs if f.endswith(".csv")]
+    assert len(found) == 3
+
+
+def test_rle_merge_semantics():
+    rows = [
+        {"start": 0, "end": 1, "class": "a"},
+        {"start": 1, "end": 2, "class": "a"},
+        {"start": 5, "end": 6, "class": "a"},  # gap, same class -> still merged
+        {"start": 6, "end": 7, "class": "b"},
+        {"start": 7, "end": 8, "class": "a"},
+    ]
+    merged = rle_merge(rows)
+    assert [m["class"] for m in merged] == ["a", "b", "a"]
+    assert merged[0]["end"] == 6
+
+
+def test_event_map_perfect_and_degraded():
+    gt = [("f", 0, 1.0, 2.0), ("f", 0, 5.0, 6.0), ("f", 1, 8.0, 9.0)]
+    perfect = [("f", 0, 0.9, 1.0, 2.0), ("f", 0, 0.8, 5.0, 6.0), ("f", 1, 0.7, 8.0, 9.0)]
+    m = event_map(perfect, gt, num_classes=2)
+    assert m["mAP@0.5"] == pytest.approx(1.0)
+
+    # one false positive with highest confidence drags precision down
+    noisy = [("f", 0, 0.99, 20.0, 21.0)] + perfect
+    m2 = event_map(noisy, gt, num_classes=2)
+    assert m2["mAP@0.5"] < 1.0
+
+    # missing class entirely -> AP 0 for it
+    ap1 = event_average_precision(perfect[:2], gt, class_idx=1)
+    assert ap1 == 0.0

@@ -1,0 +1,169 @@
+"""Training entry point (CLI surface of reference ``train.py``).
+
+Usage: ``python train.py [--config config/config.yaml]``
+
+Resolves datasets from ``train_config.dataset_path`` (single directory,
+``;``-separated list, or glob ``*`` — reference ``train.py:101-132``), builds
+the jitted TPU training pipeline, runs the epoch loop with best-eval-loss
+checkpointing, and exports metric CSVs/plots.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import logging
+import os
+from datetime import datetime
+
+import numpy as np
+
+from audioyolo_tpu.config import load_config
+from audioyolo_tpu.data import AudioConcatDataset, AudioDataset, BatchLoader
+from audioyolo_tpu.models import AudioDetectionModel
+from audioyolo_tpu.parallel import make_mesh
+from audioyolo_tpu.train import AudioDetectionLoss, TrainerPipeline, make_optimizer
+
+SEED = 42
+
+
+def load_annotations(data_path: str, annotator: str):
+    path = os.path.join(data_path, "annotations", "annotation.json")
+    with open(path, "r") as f:
+        data = json.load(f)
+    return data["annotations"][annotator]
+
+
+def make_dataset(path, annotations, cfg, max_targets):
+    kwargs = dict(
+        sample_duration=cfg.sample_duration,
+        sample_rate=cfg.sample_rate,
+        extension=cfg.raw["audio_extension"],
+        max_targets=max_targets,
+    )
+    if isinstance(path, str):
+        return AudioDataset(path, annotations, **kwargs)
+    return AudioConcatDataset.make_combo_dataset(path, annotations, **kwargs)
+
+
+def resolve_datasets(cfg, max_targets):
+    tc = cfg.raw["train_config"]
+    data_path = tc["dataset_path"]
+    annotator = tc["annotator"]
+    split_paths = data_path.split(";")
+
+    if (not data_path.endswith("*")) and len(split_paths) == 1:
+        ann = load_annotations(data_path, annotator)
+        train_ds = make_dataset(os.path.join(data_path, "train"), ann, cfg, max_targets)
+        eval_ds = make_dataset(os.path.join(data_path, "eval"), ann, cfg, max_targets)
+        return train_ds, eval_ds
+
+    paths = split_paths if len(split_paths) > 1 else sorted(glob.glob(data_path))
+    if not paths:
+        raise OSError(f"no datasets found at {data_path}")
+    anns, train_dirs, eval_dirs = [], [], []
+    for p in paths:
+        if not os.path.exists(p):
+            raise OSError(f"path {p} not found")
+        anns.append(load_annotations(p, annotator))
+        train_dirs.append(os.path.join(p, "train"))
+        eval_dirs.append(os.path.join(p, "eval"))
+    return (
+        make_dataset(train_dirs, anns, cfg, max_targets),
+        make_dataset(eval_dirs, anns, cfg, max_targets),
+    )
+
+
+def run(cfg, data_parallel: bool = False):
+    tc = cfg.raw["train_config"]
+    tpu_cfg = cfg.raw.get("tpu_config", {})
+    max_targets = int(tpu_cfg.get("max_targets", 48))
+
+    train_ds, eval_ds = resolve_datasets(cfg, max_targets)
+    AudioDataset.save_label_map(train_ds.class2idx, tc["class_map_path"])
+    num_classes = len(train_ds.class2idx)
+
+    batch_size = int(tc["batch_size"])
+    last_batch = "pad" if data_parallel else "partial"
+    train_loader = BatchLoader(
+        train_ds, batch_size, shuffle=bool(tc.get("shuffle_samples", True)),
+        seed=SEED, last_batch=last_batch,
+    )
+    eval_loader = BatchLoader(eval_ds, batch_size, shuffle=False, last_batch=last_batch)
+
+    dtype = None
+    if tpu_cfg.get("compute_dtype") in ("bfloat16", "bf16"):
+        import jax.numpy as jnp
+
+        dtype = jnp.bfloat16
+    model = AudioDetectionModel.from_config(cfg, num_classes=num_classes, dtype=dtype)
+
+    lc = tc["loss_config"]
+    loss_fn = AudioDetectionLoss(
+        anchors_dict=cfg.raw["anchors"],
+        num_classes=num_classes,
+        sample_duration=cfg.sample_duration,
+        class_weights=train_ds.get_class_weights(),
+        anchor_t=lc.get("anchor_t", 4.0),
+        edge_t=lc.get("edge_t", 0.5),
+        box_w=lc.get("box_w", 1.0),
+        conf_w=lc.get("conf_w", 1.0),
+        class_w=lc.get("class_w", 1.0),
+        multi_label=lc.get("multi_label", False),
+        label_smoothing=lc.get("label_smoothing", 0.0),
+        batch_scale_loss=lc.get("batch_scale_loss", False),
+        alpha=lc.get("alpha"),
+        gamma=lc.get("gamma"),
+    )
+    tx = make_optimizer(
+        tc["optimizer_config"],
+        tc.get("lr_scheduler_config"),
+        steps_per_epoch=len(train_loader),
+        use_lr_scheduler=bool(tc.get("use_lr_scheduler", True)),
+    )
+
+    mesh = make_mesh() if data_parallel else None
+    trainer = TrainerPipeline(
+        model, loss_fn, tx,
+        model_path=tc["model_path"],
+        metrics_path=tc["metrics_path"],
+        ema_config=tc.get("ema_config"),
+        use_ema=bool(tc.get("use_ema", False)),
+        mesh=mesh,
+        seed=SEED,
+    )
+    state = trainer.create_state(train_ds[0]["audio"][None])
+
+    verbose = bool(tc.get("verbose", True))
+    best_loss = np.inf
+    for epoch in range(int(tc["epochs"])):
+        print(f"\n[{datetime.now():%Y-%m-%d %H:%M:%S}]: Epoch {epoch}")
+        state, _ = trainer.train(state, train_loader, verbose=verbose)
+        eval_metrics = trainer.evaluate(state, eval_loader, verbose=verbose)
+        eval_loss = eval_metrics["aggregate_loss"]
+        if eval_loss < best_loss:
+            trainer.save_model(state)
+            best_loss = eval_loss
+            print(
+                f"[{datetime.now():%Y-%m-%d %H:%M:%S}] Model saved at epoch: "
+                f"{epoch + 1} loss: {best_loss}"
+            )
+    trainer.metrics_to_csv()
+    trainer.save_metrics_plots(figsize=(25, 10))
+
+
+if __name__ == "__main__":
+    logging.basicConfig(
+        level=logging.WARNING,
+        format="%(asctime)s %(levelname)s %(filename)s: %(message)s",
+        datefmt="%Y-%m-%d %H:%M:%S",
+    )
+    parser = argparse.ArgumentParser(description="Audio activity detection training")
+    parser.add_argument("--config", type=str, default="config/config.yaml")
+    parser.add_argument(
+        "--data_parallel", action="store_true",
+        help="shard batches over all visible devices (ICI data parallelism)",
+    )
+    args = parser.parse_args()
+    run(load_config(args.config), data_parallel=args.data_parallel)
