@@ -123,31 +123,32 @@ class AudioDataset:
     def __add__(self, other: "AudioDataset") -> "AudioConcatDataset":
         return AudioConcatDataset([self, other])
 
-    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+    def audio_span(self, idx: int):
+        """(filepath, frame_offset, num_frames) of the annotated span."""
+        sample = self._samples[idx]
+        segments = sample["segments"]
+        filepath = os.path.join(self.audios_path, f"{sample['filename']}.{self.extension}")
+        audio_start = segments[0][0]
+        audio_end = segments[-1][1]
+        return (
+            filepath,
+            int(audio_start * self.sample_rate),
+            int((audio_end - audio_start) * self.sample_rate),
+        )
+
+    @property
+    def clip_samples(self) -> int:
+        return int(self.sample_duration * self.sample_rate)
+
+    def targets(self, idx: int, span_samples: int) -> Dict[str, np.ndarray]:
+        """Fixed-capacity target arrays; ``span_samples`` is the decoded
+        (pre-padding) audio length, used to decide whether a pad label covering
+        the zero-padded tail is appended."""
         sample = self._samples[idx]
         segments = sample["segments"]
         gmin = sample["gmin"]
-        filepath = os.path.join(self.audios_path, f"{sample['filename']}.{self.extension}")
-
-        audio_start = segments[0][0]
-        audio_end = segments[-1][1]
-        audio, _ = read_wav(
-            filepath,
-            frame_offset=int(audio_start * self.sample_rate),
-            num_frames=int((audio_end - audio_start) * self.sample_rate),
-        )
-        if audio.shape[0] != 1:
-            audio = audio.mean(axis=0, keepdims=True)
-
-        max_samples = int(self.sample_duration * self.sample_rate)
-        if audio.shape[-1] > max_samples:
-            raise ValueError(
-                f"audio sample is longer than {self.sample_duration}s — check that "
-                f"sample_rate={self.sample_rate} matches the files"
-            )
-
-        # group-local times
-        audio_start, audio_end = audio_start - gmin, audio_end - gmin
+        audio_start = segments[0][0] - gmin
+        audio_end = segments[-1][1] - gmin
 
         n = len(segments)
         if n + 1 > self.max_targets:
@@ -166,22 +167,52 @@ class AudioDataset:
             centers[i] = s + (e - s) / 2.0
             valid[i] = True
 
-        if audio.shape[-1] < max_samples:
-            pad = np.zeros((1, max_samples - audio.shape[-1]), audio.dtype)
-            audio = np.concatenate([audio, pad], axis=-1)
+        if span_samples < self.clip_samples:
             pad_duration = (audio_start + self.sample_duration) - audio_end
             classes[n] = self.ignore_index
             centers[n] = audio_end + pad_duration / 2.0
             widths[n] = pad_duration
             valid[n] = True
+        return {"classes": classes, "centers": centers, "widths": widths, "valid": valid}
 
-        return {
-            "audio": audio.astype(np.float32),
-            "classes": classes,
-            "centers": centers,
-            "widths": widths,
-            "valid": valid,
-        }
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        filepath, offset, count = self.audio_span(idx)
+        audio, _ = read_wav(filepath, frame_offset=offset, num_frames=count)
+        if audio.shape[0] != 1:
+            audio = audio.mean(axis=0, keepdims=True)
+
+        max_samples = self.clip_samples
+        if audio.shape[-1] > max_samples:
+            raise ValueError(
+                f"audio sample is longer than {self.sample_duration}s — check that "
+                f"sample_rate={self.sample_rate} matches the files"
+            )
+        span_samples = audio.shape[-1]
+        if span_samples < max_samples:
+            audio = np.concatenate(
+                [audio, np.zeros((1, max_samples - span_samples), audio.dtype)], axis=-1
+            )
+        item = {"audio": audio.astype(np.float32)}
+        item.update(self.targets(idx, span_samples))
+        return item
+
+    def load_audio_batch(self, indices, n_threads: int = 4) -> Optional[np.ndarray]:
+        """Native fast path: decode a whole batch of spans with the C++ loader
+        into one contiguous (B, 1, clip_samples) buffer. Returns None when the
+        native library is unavailable (caller falls back to ``__getitem__``)."""
+        from . import native
+
+        if not native.native_available():
+            return None
+        spans = [self.audio_span(int(i)) for i in indices]
+        out = native.load_batch(
+            [s[0] for s in spans],
+            [s[1] for s in spans],
+            [s[2] for s in spans],
+            out_len=self.clip_samples,
+            n_threads=n_threads,
+        )
+        return out[:, None, :]
 
     # ---- utilities -----------------------------------------------------
 

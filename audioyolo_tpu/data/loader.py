@@ -51,6 +51,25 @@ class BatchLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _fast_batch(self, indices) -> "Dict[str, np.ndarray] | None":
+        """Native C++ batch decode when available (see data/native.py)."""
+        ds = self.dataset
+        if not (hasattr(ds, "load_audio_batch") and hasattr(ds, "targets")):
+            return None  # concat datasets span files across children; use slow path
+        try:
+            audio = ds.load_audio_batch(indices)
+        except Exception:
+            return None
+        if audio is None:
+            return None
+        tgt_items = []
+        for i in indices:
+            _, _, count = ds.audio_span(int(i))
+            tgt_items.append(ds.targets(int(i), min(count, ds.clip_samples)))
+        batch = {k: np.stack([t[k] for t in tgt_items]) for k in tgt_items[0]}
+        batch["audio"] = audio
+        return batch
+
     def _order(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
@@ -58,9 +77,11 @@ class BatchLoader:
         return idx
 
     def _make_batch(self, indices) -> Dict[str, np.ndarray]:
-        items = [self.dataset[int(i)] for i in indices]
-        batch = AudioDataset.collate(items)
-        n = len(items)
+        batch = self._fast_batch(indices)
+        if batch is None:
+            items = [self.dataset[int(i)] for i in indices]
+            batch = AudioDataset.collate(items)
+        n = len(indices)
         if n < self.batch_size and self.last_batch == "pad":
             reps = self.batch_size - n
             batch = {

@@ -82,20 +82,58 @@ class Resampler:
             orig_freq, new_freq, lowpass_filter_width, rolloff
         )
         self.width = width
-        # conv_general_dilated wants (out_ch=P, in_ch=1, taps)
+        # (K, P) kernel, K = 2*width + q taps per block, split into two row
+        # bands on the q-grid: rows [0, q) multiply the current q-sample block
+        # row, rows [q, q+2w) multiply the first 2w samples of the next row.
+        kkp = kernel.T  # (K, P)
+        self.kernel_a = jnp.asarray(kkp[: self.q])  # (q, P)
+        self.kernel_b = jnp.asarray(kkp[self.q :])  # (2w, P)
+        # conv layout kept for the fallback path: (out_ch=P, in_ch=1, taps)
         self.kernel = jnp.asarray(kernel)[:, None, :]
 
     def output_length(self, length: int) -> int:
         return int(math.ceil(self.new_freq * length / self.orig_freq))
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        """Resample along the last axis. ``x``: (..., time) float array."""
+        """Resample along the last axis. ``x``: (..., time) float array.
+
+        TPU-first formulation: instead of a stride-``q`` conv (which XLA
+        lowers poorly for strides in the hundreds), the signal is viewed as
+        ``q``-sample rows via a reshape, each polyphase block's ``2*width``
+        overlap is borrowed from the next row with a slice+concat, and the
+        whole resample becomes one ``(blocks, K) @ (K, P)`` GEMM on the MXU.
+        """
         if self.orig_freq == self.new_freq:
             return x
         in_shape = x.shape
         length = in_shape[-1]
-        xf = x.reshape((-1, 1, length)).astype(jnp.float32)
-        xf = jnp.pad(xf, ((0, 0), (0, 0), (self.width, self.width + self.q)))
+        q, w, p = self.q, self.width, self.p
+        xf = x.reshape((-1, length)).astype(jnp.float32)
+
+        if 2 * w > q:
+            return self._conv_fallback(xf, length, in_shape, x.dtype)
+
+        nblocks = length // q + 1
+        pad_right = (nblocks + 1) * q - w - length
+        xlp = jnp.pad(xf, ((0, 0), (w, pad_right)))
+        rows = xlp.reshape(xf.shape[0], nblocks + 1, q)
+        # Two-band decomposition: the wide GEMM operand is a pure reshape view
+        # (no overlap materialization), the 2w-tap correction is a small slice.
+        mm = lambda a, b: jnp.matmul(  # noqa: E731
+            a, b, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        y = mm(rows[:, :nblocks], self.kernel_a) + mm(rows[:, 1:, : 2 * w], self.kernel_b)
+
+        target = self.output_length(length)
+        if target % p == 0:
+            y = y[:, : target // p, :].reshape(xf.shape[0], target)
+        else:
+            y = y.reshape(xf.shape[0], -1)[:, :target]
+        return y.reshape(in_shape[:-1] + (y.shape[-1],)).astype(x.dtype)
+
+    def _conv_fallback(self, xf: jax.Array, length: int, in_shape, dtype) -> jax.Array:
+        xf = jnp.pad(xf[:, None, :], ((0, 0), (0, 0), (self.width, self.width + self.q)))
         y = jax.lax.conv_general_dilated(
             xf,
             self.kernel,
@@ -106,7 +144,7 @@ class Resampler:
         )  # (N, P, blocks)
         y = jnp.swapaxes(y, 1, 2).reshape(y.shape[0], -1)
         y = y[:, : self.output_length(length)]
-        return y.reshape(in_shape[:-1] + (y.shape[-1],)).astype(x.dtype)
+        return y.reshape(in_shape[:-1] + (y.shape[-1],)).astype(dtype)
 
 
 @partial(jax.jit, static_argnums=(1, 2))

@@ -1,0 +1,229 @@
+// Native audio ingestion for audioyolo_tpu.
+//
+// Replaces the Python/numpy WAV decode path (audioyolo_tpu/data/wavio.py —
+// itself the stand-in for the reference's torchaudio/libsndfile loader,
+// reference dataset.py:115-120) for the hot training/inference ingestion
+// loop: one C call decodes, mono-downmixes, scales and zero-pads a whole
+// batch of clip spans into a caller-owned contiguous float32 (B, S) buffer,
+// fanning file decodes out over a thread pool. PCM 8/16/24/32 and IEEE
+// float32/64 are supported with the same [-1, 1] scaling conventions as the
+// Python reader (bit-exact: both divide by 2^(bits-1)).
+//
+// Build: make -C native   (produces libayt_audio.so, loaded via ctypes by
+// audioyolo_tpu/data/native.py; the numpy path is the automatic fallback).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr uint16_t kFmtPcm = 1;
+constexpr uint16_t kFmtFloat = 3;
+constexpr uint16_t kFmtExtensible = 0xFFFE;
+
+struct WavHeader {
+  uint16_t format = 0;
+  uint16_t channels = 0;
+  uint32_t rate = 0;
+  uint16_t bits = 0;
+  int64_t data_offset = 0;
+  int64_t data_size = 0;
+};
+
+bool read_exact(FILE* f, void* dst, size_t n) { return fread(dst, 1, n, f) == n; }
+
+uint32_t rd_u32(const uint8_t* p) {
+  return static_cast<uint32_t>(p[0]) | (static_cast<uint32_t>(p[1]) << 8) |
+         (static_cast<uint32_t>(p[2]) << 16) | (static_cast<uint32_t>(p[3]) << 24);
+}
+uint16_t rd_u16(const uint8_t* p) {
+  return static_cast<uint16_t>(p[0]) | (static_cast<uint16_t>(p[1]) << 8);
+}
+
+// Parses the RIFF header up to the data chunk. Returns 0 on success.
+int parse_header(FILE* f, WavHeader* h) {
+  uint8_t riff[12];
+  if (!read_exact(f, riff, 12)) return -1;
+  if (memcmp(riff, "RIFF", 4) != 0 || memcmp(riff + 8, "WAVE", 4) != 0) return -2;
+  bool have_fmt = false;
+  for (;;) {
+    uint8_t hdr[8];
+    if (!read_exact(f, hdr, 8)) return -3;
+    uint32_t size = rd_u32(hdr + 4);
+    if (memcmp(hdr, "fmt ", 4) == 0) {
+      std::vector<uint8_t> payload(size + (size & 1));
+      if (!read_exact(f, payload.data(), payload.size())) return -4;
+      h->format = rd_u16(payload.data());
+      h->channels = rd_u16(payload.data() + 2);
+      h->rate = rd_u32(payload.data() + 4);
+      h->bits = rd_u16(payload.data() + 14);
+      if (h->format == kFmtExtensible && size >= 40) h->format = rd_u16(payload.data() + 24);
+      have_fmt = true;
+    } else if (memcmp(hdr, "data", 4) == 0) {
+      if (!have_fmt) return -5;
+      h->data_offset = ftell(f);
+      h->data_size = size;
+      return 0;
+    } else {
+      if (fseek(f, static_cast<long>(size + (size & 1)), SEEK_CUR) != 0) return -6;
+    }
+  }
+}
+
+// Decodes `frames` interleaved frames into mono float32 (mean over channels).
+// Raw bytes are in `raw`; writes `frames` floats to `out`.
+int decode_to_mono(const WavHeader& h, const uint8_t* raw, int64_t frames, float* out) {
+  const int ch = h.channels;
+  const float inv_ch = 1.0f / static_cast<float>(ch);
+  if (h.format == kFmtFloat && h.bits == 32) {
+    const float* s = reinterpret_cast<const float*>(raw);
+    for (int64_t i = 0; i < frames; ++i) {
+      float acc = 0.f;
+      for (int c = 0; c < ch; ++c) acc += s[i * ch + c];
+      out[i] = acc * inv_ch;
+    }
+  } else if (h.format == kFmtFloat && h.bits == 64) {
+    const double* s = reinterpret_cast<const double*>(raw);
+    for (int64_t i = 0; i < frames; ++i) {
+      double acc = 0.0;
+      for (int c = 0; c < ch; ++c) acc += s[i * ch + c];
+      out[i] = static_cast<float>(acc * inv_ch);
+    }
+  } else if (h.format == kFmtPcm && h.bits == 16) {
+    const int16_t* s = reinterpret_cast<const int16_t*>(raw);
+    constexpr float kScale = 1.0f / 32768.0f;
+    for (int64_t i = 0; i < frames; ++i) {
+      float acc = 0.f;
+      for (int c = 0; c < ch; ++c) acc += static_cast<float>(s[i * ch + c]);
+      out[i] = acc * kScale * inv_ch;
+    }
+  } else if (h.format == kFmtPcm && h.bits == 32) {
+    const int32_t* s = reinterpret_cast<const int32_t*>(raw);
+    constexpr float kScale = 1.0f / 2147483648.0f;
+    for (int64_t i = 0; i < frames; ++i) {
+      float acc = 0.f;
+      for (int c = 0; c < ch; ++c) acc += static_cast<float>(s[i * ch + c]) * kScale;
+      out[i] = acc * inv_ch;
+    }
+  } else if (h.format == kFmtPcm && h.bits == 24) {
+    constexpr float kScale = 1.0f / 8388608.0f;  // 2^23
+    for (int64_t i = 0; i < frames; ++i) {
+      float acc = 0.f;
+      for (int c = 0; c < ch; ++c) {
+        const uint8_t* b = raw + (i * ch + c) * 3;
+        int32_t v = static_cast<int32_t>(b[0]) | (static_cast<int32_t>(b[1]) << 8) |
+                    (static_cast<int32_t>(b[2]) << 16);
+        v = (v << 8) >> 8;  // sign-extend 24 -> 32
+        acc += static_cast<float>(v) * kScale;
+      }
+      out[i] = acc * inv_ch;
+    }
+  } else if (h.format == kFmtPcm && h.bits == 8) {
+    constexpr float kScale = 1.0f / 128.0f;
+    for (int64_t i = 0; i < frames; ++i) {
+      float acc = 0.f;
+      for (int c = 0; c < ch; ++c)
+        acc += (static_cast<float>(raw[i * ch + c]) - 128.0f) * kScale;
+      out[i] = acc * inv_ch;
+    }
+  } else {
+    return -10;
+  }
+  return 0;
+}
+
+// Reads [frame_offset, frame_offset+num_frames) as mono float32, zero-padding
+// to out_len. Returns frames actually decoded, or a negative error code.
+int64_t read_span_mono(const char* path, int64_t frame_offset, int64_t num_frames,
+                       float* out, int64_t out_len) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -100;
+  WavHeader h;
+  int rc = parse_header(f, &h);
+  if (rc != 0) {
+    fclose(f);
+    return rc;
+  }
+  const int64_t frame_bytes = static_cast<int64_t>(h.channels) * (h.bits / 8);
+  const int64_t total = h.data_size / frame_bytes;
+  int64_t start = frame_offset < 0 ? 0 : (frame_offset > total ? total : frame_offset);
+  int64_t count = num_frames < 0 ? total - start : num_frames;
+  if (count > total - start) count = total - start;
+  if (count > out_len) count = out_len;
+
+  if (count > 0) {
+    if (fseek(f, static_cast<long>(h.data_offset + start * frame_bytes), SEEK_SET) != 0) {
+      fclose(f);
+      return -7;
+    }
+    std::vector<uint8_t> raw(static_cast<size_t>(count * frame_bytes));
+    if (!read_exact(f, raw.data(), raw.size())) {
+      fclose(f);
+      return -8;
+    }
+    rc = decode_to_mono(h, raw.data(), count, out);
+    if (rc != 0) {
+      fclose(f);
+      return rc;
+    }
+  }
+  fclose(f);
+  if (count < out_len) memset(out + count, 0, static_cast<size_t>(out_len - count) * sizeof(float));
+  return count;
+}
+
+}  // namespace
+
+extern "C" {
+
+int ayt_wav_info(const char* path, int32_t* rate, int64_t* frames, int32_t* channels) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -100;
+  WavHeader h;
+  int rc = parse_header(f, &h);
+  fclose(f);
+  if (rc != 0) return rc;
+  *rate = static_cast<int32_t>(h.rate);
+  *frames = h.data_size / (static_cast<int64_t>(h.channels) * (h.bits / 8));
+  *channels = h.channels;
+  return 0;
+}
+
+// Single span; out must hold out_len floats.
+int64_t ayt_read_mono(const char* path, int64_t frame_offset, int64_t num_frames,
+                      float* out, int64_t out_len) {
+  return read_span_mono(path, frame_offset, num_frames, out, out_len);
+}
+
+// Batch: decodes n spans into out[i * out_len ...] using up to n_threads.
+// Returns 0 on success or the first error code encountered.
+int ayt_load_batch(const char** paths, int32_t n, const int64_t* frame_offsets,
+                   const int64_t* num_frames, float* out, int64_t out_len,
+                   int32_t n_threads) {
+  if (n <= 0) return 0;
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n) n_threads = n;
+  std::vector<int64_t> rcs(static_cast<size_t>(n), 0);
+  std::vector<std::thread> workers;
+  std::vector<int32_t> next(1, 0);
+  // simple static partition: thread t handles items t, t+T, t+2T, ...
+  for (int32_t t = 0; t < n_threads; ++t) {
+    workers.emplace_back([&, t]() {
+      for (int32_t i = t; i < n; i += n_threads) {
+        rcs[static_cast<size_t>(i)] = read_span_mono(
+            paths[i], frame_offsets[i], num_frames[i], out + static_cast<int64_t>(i) * out_len,
+            out_len);
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+  for (int32_t i = 0; i < n; ++i)
+    if (rcs[static_cast<size_t>(i)] < 0) return static_cast<int>(rcs[static_cast<size_t>(i)]);
+  return 0;
+}
+
+}  // extern "C"

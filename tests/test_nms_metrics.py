@@ -98,3 +98,22 @@ def test_metrics_empty_mask():
         jnp.zeros(4, jnp.int32), jnp.zeros(4, jnp.int32), jnp.zeros(4, bool), 3
     )
     assert np.isnan(float(out["accuracy"]))
+
+
+def test_pallas_nms_matches_xla_interpret(rng):
+    """The experimental Pallas NMS kernel (interpret mode on CPU) must agree
+    with the XLA greedy suppression bit-for-bit."""
+    import jax.numpy as jnp
+
+    from audioyolo_tpu.ops.nms import _greedy_suppress
+    from audioyolo_tpu.ops.pallas_nms import greedy_suppress_pallas
+
+    b, k = 3, 50
+    c = rng.uniform(0, 60, (b, k)).astype(np.float32)
+    w = rng.uniform(0.5, 20, (b, k)).astype(np.float32)
+    x1 = jnp.asarray(np.clip(c - w / 2, 0, 60))
+    x2 = jnp.asarray(np.clip(c + w / 2, 0, 60))
+    valid = jnp.ones((b, k), bool)
+    kp = greedy_suppress_pallas(x1, x2, valid, 0.3, interpret=True)
+    kx = _greedy_suppress(interval_iou_matrix(x1, x2), 0.3)
+    assert (np.asarray(kp) == np.asarray(kx)).all()
