@@ -59,6 +59,8 @@ def make_inference_fn(
     iou_threshold: float = 0.1,
     conf_threshold: float = 0.2,
     keep_k: int = 128,
+    mesh=None,
+    data_axis: str = "data",
 ) -> Callable[[jax.Array], Dict[str, jax.Array]]:
     """Build the jitted waveform -> detections function.
 
@@ -66,15 +68,30 @@ def make_inference_fn(
     folded variables — the reference ships but never invokes its fold at
     inference (``inference.py`` note in SURVEY.md §3.3); we fold by default at
     weight load.
+
+    Pass a ``jax.sharding.Mesh`` to shard the clip batch over its ``data``
+    axis (replicated weights): inference scales across chips with zero model
+    changes — each device runs independent clips, no collectives on the hot
+    path (SURVEY.md §2.3 item 3).
     """
     duration = float(model.cfg.sample_duration)
 
-    @jax.jit
-    def infer(audio: jax.Array) -> Dict[str, jax.Array]:
+    def infer_impl(audio: jax.Array) -> Dict[str, jax.Array]:
         preds = model.apply(variables, audio, train=False, combine_scales=True)
         return detection_postprocess_graph(
             preds, iou_threshold, conf_threshold, duration, keep_k
         )
+
+    if mesh is None:
+        return jax.jit(infer_impl)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data = NamedSharding(mesh, P(data_axis))
+    jitted = jax.jit(infer_impl, in_shardings=data, out_shardings=data)
+
+    def infer(audio: jax.Array) -> Dict[str, jax.Array]:
+        return jitted(jax.device_put(audio, data))
 
     return infer
 

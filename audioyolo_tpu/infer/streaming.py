@@ -91,16 +91,20 @@ def evaluate_audio(
                 [clips, np.zeros((batch_size - nclips, 1, sample_size), np.float32)], axis=0
             )
 
-        x = clips.astype(np.float32)
-        if resampler is not None:
-            import jax.numpy as jnp
+        import jax
 
-            x = np.asarray(resampler(jnp.asarray(x)))
+        # explicit async transfer — handing numpy to the jitted function uses
+        # a synchronous per-argument path that is far slower on remote devices
+        x = jax.device_put(clips.astype(np.float32))
+        if resampler is not None:
+            x = resampler(x)
             if x.shape[-1] != model_sample_size:  # defensive clamp/pad
+                import jax.numpy as jnp
+
                 if x.shape[-1] > model_sample_size:
                     x = x[..., :model_sample_size]
                 else:
-                    x = np.pad(x, ((0, 0), (0, 0), (0, model_sample_size - x.shape[-1])))
+                    x = jnp.pad(x, ((0, 0), (0, 0), (0, model_sample_size - x.shape[-1])))
 
         dets = {k: np.asarray(v) for k, v in infer_fn(x).items()}
         per_clip = postprocess_detections(dets, sample_duration, return_start_end=True)

@@ -140,17 +140,21 @@ class AudioDetectionModel(nn.Module):
         if features is None:
             if audio is None:
                 raise ValueError("provide either audio or features")
-            features = self.frontend(audio)
+            with jax.named_scope("frontend"):
+                features = self.frontend(audio)
         x = features.astype(self.dtype) if self.dtype is not None else features
 
-        fmaps = self.feature_extractor(x, train=train)
-        n2, n3, n4 = self.multiscale_module(*fmaps, train=train)
+        with jax.named_scope("backbone"):
+            fmaps = self.feature_extractor(x, train=train)
+        with jax.named_scope("neck"):
+            n2, n3, n4 = self.multiscale_module(*fmaps, train=train)
 
         spectral = cfg.n_frames
         dur = cfg.sample_duration
-        sm = decode_scale(n2, self._anchors_sec("sm"), self.num_classes, spectral, dur)
-        md = decode_scale(n3, self._anchors_sec("md"), self.num_classes, spectral, dur)
-        lg = decode_scale(n4, self._anchors_sec("lg"), self.num_classes, spectral, dur)
+        with jax.named_scope("decode"):
+            sm = decode_scale(n2, self._anchors_sec("sm"), self.num_classes, spectral, dur)
+            md = decode_scale(n3, self._anchors_sec("md"), self.num_classes, spectral, dur)
+            lg = decode_scale(n4, self._anchors_sec("lg"), self.num_classes, spectral, dur)
 
         if not combine_scales:
             return sm, md, lg

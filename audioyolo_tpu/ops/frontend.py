@@ -260,9 +260,16 @@ class SpectralFrontend:
         self.scale_input = bool(cfg.raw.get("scale_input", True))
 
     def __call__(self, audio: jax.Array) -> jax.Array:
-        """``audio``: (B, S) or (B, 1, S) at the dataset sample rate."""
+        """``audio``: (B, S) or (B, 1, S) at the dataset sample rate.
+
+        int16 input is dequantized in-graph (``x / 32768``, the same scaling
+        as the WAV readers) — shipping PCM16 to the device quarters
+        host->device traffic and is lossless for 16-bit sources.
+        """
         if audio.ndim == 3:
             audio = audio[:, 0, :]
+        if jnp.issubdtype(audio.dtype, jnp.integer):
+            audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
         x = self.resampler(audio.astype(jnp.float32))
         if self.taper is not None:
             x = x * self.taper[None, :]

@@ -167,13 +167,33 @@ class TrainerPipeline:
             self._eval_step = jax.jit(eval_step)
 
     def _put_batch(self, batch: Dict[str, np.ndarray]):
+        """Explicit async host->device transfer. Never hand numpy straight to
+        the jitted step: the implicit per-argument transfer path is
+        synchronous and ~30x slower through a remote device tunnel (measured:
+        4.2 s vs 0.15 s for a 32-clip fp32 batch)."""
         audio = batch["audio"]
         targets = {k: batch[k] for k in ("classes", "centers", "widths", "valid")}
         if self.mesh is not None:
             data = NamedSharding(self.mesh, P(self.data_axis))
             audio = jax.device_put(audio, data)
             targets = {k: jax.device_put(v, data) for k, v in targets.items()}
+        else:
+            audio = jax.device_put(audio)
+            targets = jax.device_put(targets)
         return audio, targets
+
+    def _device_prefetch(self, loader: Iterable[Dict[str, np.ndarray]]):
+        """Iterate device-resident batches one transfer ahead: device_put is
+        async, so the next batch streams over while the current step runs."""
+        it = iter(loader)
+        try:
+            nxt = self._put_batch(next(it))
+        except StopIteration:
+            return
+        for batch in it:
+            cur, nxt = nxt, self._put_batch(batch)
+            yield cur
+        yield nxt
 
     # ---- epoch loops ---------------------------------------------------
 
@@ -181,8 +201,7 @@ class TrainerPipeline:
         if self._train_step is None:
             self._build_steps()
         collected: List[Dict[str, jax.Array]] = []
-        for batch in loader:
-            audio, targets = self._put_batch(batch)
+        for audio, targets in self._device_prefetch(loader):
             state, metrics = self._train_step(state, audio, targets)
             collected.append(metrics)
         epoch_metrics = self._reduce(collected)
@@ -195,8 +214,7 @@ class TrainerPipeline:
         if self._eval_step is None:
             self._build_steps()
         collected: List[Dict[str, jax.Array]] = []
-        for batch in loader:
-            audio, targets = self._put_batch(batch)
+        for audio, targets in self._device_prefetch(loader):
             collected.append(self._eval_step(state, audio, targets))
         epoch_metrics = self._reduce(collected)
         self._eval_metrics.append(epoch_metrics)
@@ -220,11 +238,19 @@ class TrainerPipeline:
 
     # ---- checkpointing -------------------------------------------------
 
-    def save_model(self, state: TrainState, path: Optional[str] = None):
-        """Persist the train state; EMA params are saved as the network params
-        when EMA is enabled (reference ``pipeline/_trainer.py:38-47``)."""
-        path = path or self.saved_model_path
+    @staticmethod
+    def _atomic_write(path: str, payload) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        blob = serialization.msgpack_serialize(jax.tree.map(np.asarray, payload))
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)  # atomic: a crash never leaves a torn checkpoint
+
+    def save_model(self, state: TrainState, path: Optional[str] = None):
+        """Persist the best-model artifact; EMA params are saved as the network
+        params when EMA is enabled (reference ``pipeline/_trainer.py:38-47``)."""
+        path = path or self.saved_model_path
         params = state.ema.params if (self.use_ema and state.ema is not None) else state.params
         payload = {
             "params": serialization.to_state_dict(params),
@@ -232,8 +258,55 @@ class TrainerPipeline:
             "opt_state": serialization.to_state_dict(state.opt_state),
             "step": int(state.step),
         }
-        with open(path, "wb") as f:
-            f.write(serialization.msgpack_serialize(jax.tree.map(np.asarray, payload)))
+        self._atomic_write(path, payload)
+
+    # full-state checkpoint: everything needed to resume mid-run (the
+    # reference saves opt state but has no resume path — SURVEY.md §5)
+    @property
+    def resume_checkpoint_path(self) -> str:
+        return os.path.join(self.model_path, "checkpoint.msgpack")
+
+    def save_checkpoint(self, state: TrainState, epoch: int, best_loss: float,
+                        path: Optional[str] = None):
+        payload = {
+            "params": serialization.to_state_dict(state.params),
+            "batch_stats": serialization.to_state_dict(state.batch_stats),
+            "opt_state": serialization.to_state_dict(state.opt_state),
+            "step": int(state.step),
+            "epoch": int(epoch),
+            "best_loss": float(best_loss),
+            "train_metrics": self._train_metrics,
+            "eval_metrics": self._eval_metrics,
+        }
+        if state.ema is not None:
+            payload["ema_params"] = serialization.to_state_dict(state.ema.params)
+            payload["ema_num_updates"] = int(state.ema.num_updates)
+        self._atomic_write(path or self.resume_checkpoint_path, payload)
+
+    def load_checkpoint(self, state: TrainState, path: Optional[str] = None):
+        """Returns ``(state, next_epoch, best_loss)`` and restores the metric
+        history so CSV/plot exports stay continuous across the resume."""
+        path = path or self.resume_checkpoint_path
+        if not os.path.exists(path):
+            raise OSError(f"no resume checkpoint at {path}")
+        with open(path, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        ema = state.ema
+        if ema is not None and "ema_params" in payload:
+            ema = EMAState(
+                params=serialization.from_state_dict(state.ema.params, payload["ema_params"]),
+                num_updates=jnp.asarray(payload.get("ema_num_updates", 0), jnp.int32),
+            )
+        new_state = state.replace(
+            params=serialization.from_state_dict(state.params, payload["params"]),
+            batch_stats=serialization.from_state_dict(state.batch_stats, payload["batch_stats"]),
+            opt_state=serialization.from_state_dict(state.opt_state, payload["opt_state"]),
+            ema=ema,
+            step=jnp.asarray(payload.get("step", 0), jnp.int32),
+        )
+        self._train_metrics = [dict(m) for m in payload.get("train_metrics", [])]
+        self._eval_metrics = [dict(m) for m in payload.get("eval_metrics", [])]
+        return new_state, int(payload.get("epoch", -1)) + 1, float(payload.get("best_loss", np.inf))
 
     def load_model(self, state: TrainState, path: Optional[str] = None) -> TrainState:
         path = path or self.saved_model_path

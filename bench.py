@@ -1,20 +1,26 @@
-"""Headline benchmark: batched offline inference throughput per TPU chip.
+"""Benchmarks for the five BASELINE.json configs.
 
-Measures audio-seconds processed per wall-second for the flagship model
-(BASELINE.json config #2: RepVGG branches folded to single convs, bfloat16
-detector body, full in-graph frontend + decode + NMS), steady-state on
-device-resident input (the streaming pipeline overlaps host IO with device
-compute, so compute throughput is the governing rate).
+Default invocation prints exactly ONE JSON line — the headline metric
+(batched offline inference, RepVGG folded, bf16 body: BASELINE config #2):
 
-Prints ONE JSON line:
 ``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``
-``vs_baseline`` is the ratio against the 50x-audio-realtime-per-chip
-north-star target (BASELINE.md; the reference publishes no throughput numbers).
+
+``vs_baseline`` is the ratio against the 50x-audio-realtime-per-chip target
+(BASELINE.md; the reference publishes no throughput numbers).
+
+``--full`` additionally benchmarks:
+  #1 single-clip latency through the full inference graph,
+  #3 long-form streaming (host IO + chunking + RLE merge included),
+  #4 jitted training step throughput,
+  #5 scaled backbone (Bottleneck [3,4,6,3]) batched inference,
+one JSON line each on the following lines.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
+import os
 import time
 
 import jax
@@ -28,55 +34,147 @@ WARMUP = 3
 ITERS = 10
 
 
-def main():
-    from audioyolo_tpu.config import load_config
+def _emit(metric, value, unit, vs=None):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(float(value), 2),
+        "unit": unit,
+        "vs_baseline": round(float(vs if vs is not None else value / BASELINE_AUDIO_SECONDS_PER_SEC), 3),
+    }))
+
+
+def _build_infer(cfg, block=None, layers=None, keep_k=128):
     from audioyolo_tpu.infer import make_inference_fn
     from audioyolo_tpu.models import AudioDetectionModel, fold_repvgg
 
-    cfg = load_config("config/config.yaml")
+    raw = cfg.to_dict()
+    if block:
+        raw["resnet_config"] = {"block": block}
+        raw["block_layers"] = list(layers)
     rng = jax.random.PRNGKey(0)
-
-    train_model = AudioDetectionModel.from_config(cfg, num_classes=NUM_CLASSES)
+    train_model = AudioDetectionModel.from_config(raw, num_classes=NUM_CLASSES)
     sample = jnp.zeros((1, 1, cfg.clip_samples), jnp.float32)
-    variables = train_model.init({"params": rng, "dropout": rng}, sample, train=False)
-    variables = fold_repvgg(variables)
-
+    init_fn = jax.jit(lambda r, x: train_model.init(r, x, train=False))
+    variables = init_fn({"params": rng, "dropout": rng}, sample)
+    variables = fold_repvgg(jax.tree.map(np.asarray, variables))
     deploy = AudioDetectionModel.from_config(
-        cfg, num_classes=NUM_CLASSES, deploy=True, dtype=jnp.bfloat16
+        raw, num_classes=NUM_CLASSES, deploy=True, dtype=jnp.bfloat16
     )
-    infer_fn = make_inference_fn(
-        deploy, variables, iou_threshold=0.1, conf_threshold=0.2,
-        keep_k=int(cfg.raw.get("tpu_config", {}).get("nms_keep", 128)),
-    )
+    return make_inference_fn(deploy, variables, 0.1, 0.2, keep_k), variables, raw
 
-    audio = jnp.asarray(
-        np.random.default_rng(0).standard_normal((BATCH, 1, cfg.clip_samples)).astype(np.float32)
-        * 0.1
-    )
-    audio = jax.device_put(audio)
 
-    for _ in range(WARMUP):
-        out = infer_fn(audio)
+def _steady_state(fn, arg, iters=ITERS, warmup=WARMUP):
+    out = None
+    for _ in range(warmup):
+        out = fn(arg)
     jax.block_until_ready(out)
-
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = infer_fn(audio)
+    for _ in range(iters):
+        out = fn(arg)
     jax.block_until_ready(out)
-    elapsed = time.perf_counter() - t0
+    return (time.perf_counter() - t0) / iters
 
-    audio_seconds = BATCH * float(cfg.sample_duration) * ITERS
-    value = audio_seconds / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": "audio_seconds_per_sec_per_chip",
-                "value": round(value, 2),
-                "unit": "audio-s/s",
-                "vs_baseline": round(value / BASELINE_AUDIO_SECONDS_PER_SEC, 3),
-            }
-        )
+
+def bench_batched(cfg, infer_fn):
+    audio = jax.device_put(jnp.asarray(
+        np.random.default_rng(0).standard_normal((BATCH, 1, cfg.clip_samples)).astype(np.float32) * 0.1
+    ))
+    dt = _steady_state(infer_fn, audio)
+    return BATCH * float(cfg.sample_duration) / dt
+
+
+def bench_single_clip(cfg, infer_fn_b1):
+    audio = jax.device_put(jnp.asarray(
+        np.random.default_rng(1).standard_normal((1, 1, cfg.clip_samples)).astype(np.float32) * 0.1
+    ))
+    dt = _steady_state(infer_fn_b1, audio)
+    return dt * 1000.0  # ms per clip
+
+
+def bench_streaming(cfg, infer_fn, tmpdir="/tmp/bench_stream"):
+    from audioyolo_tpu.data.wavio import write_wav
+    from audioyolo_tpu.infer import evaluate_audio
+
+    os.makedirs(tmpdir, exist_ok=True)
+    minutes = 10
+    sr = cfg.sample_rate
+    total = minutes * 60 * sr
+    path = os.path.join(tmpdir, "long.wav")
+    if not os.path.exists(path):
+        x = (np.random.default_rng(2).standard_normal(total) * 0.1).astype(np.float32)
+        write_wav(path, x, sr)
+    kwargs = dict(
+        input_sample_rate=sr, sample_duration=float(cfg.sample_duration),
+        batch_size=BATCH, idx2class_map={i: f"c{i}" for i in range(NUM_CLASSES)},
     )
+    evaluate_audio(infer_fn, path, tmpdir, **kwargs)  # warm compile + page cache
+    t0 = time.perf_counter()
+    evaluate_audio(infer_fn, path, tmpdir, **kwargs)
+    dt = time.perf_counter() - t0
+    return minutes * 60 / dt
+
+
+def bench_train_step(cfg):
+    from audioyolo_tpu.models import AudioDetectionModel
+    from audioyolo_tpu.train import AudioDetectionLoss, TrainerPipeline, make_optimizer
+
+    model = AudioDetectionModel.from_config(cfg, num_classes=NUM_CLASSES, dtype=jnp.bfloat16)
+    tc = cfg.raw["train_config"]
+    loss_fn = AudioDetectionLoss(
+        cfg.raw["anchors"], NUM_CLASSES, sample_duration=cfg.sample_duration,
+        multi_label=True, label_smoothing=0.08, box_w=0.1, class_w=0.3, anchor_t=5,
+    )
+    tx = make_optimizer(tc["optimizer_config"], tc["lr_scheduler_config"], 100)
+    trainer = TrainerPipeline(model, loss_fn, tx, use_ema=True,
+                              ema_config=tc["ema_config"],
+                              metrics_path="/tmp/bench_m", model_path="/tmp/bench_m")
+    rng = np.random.default_rng(3)
+    n = 16
+    batch = {
+        "audio": (rng.standard_normal((BATCH, 1, cfg.clip_samples)) * 0.1).astype(np.float32),
+        "classes": rng.integers(0, NUM_CLASSES, (BATCH, n)).astype(np.int32),
+        "centers": rng.uniform(1, 59, (BATCH, n)).astype(np.float32),
+        "widths": rng.uniform(0.5, 30, (BATCH, n)).astype(np.float32),
+        "valid": np.ones((BATCH, n), bool),
+    }
+    state = trainer.create_state(batch["audio"][:1])
+    trainer._build_steps()
+    audio, targets = trainer._put_batch(batch)
+    state, m = trainer._train_step(state, audio, targets)  # compile
+    jax.block_until_ready(m["aggregate_loss"])
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = trainer._train_step(state, audio, targets)
+    jax.block_until_ready(m["aggregate_loss"])
+    dt = (time.perf_counter() - t0) / iters
+    return BATCH * float(cfg.sample_duration) / dt
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--full", action="store_true", help="run all 5 baseline configs")
+    args = parser.parse_args()
+
+    from audioyolo_tpu.config import load_config
+
+    cfg = load_config("config/config.yaml")
+    infer_fn, _, _ = _build_infer(cfg)
+
+    # headline (#2): batched offline inference, folded, bf16
+    _emit("audio_seconds_per_sec_per_chip", bench_batched(cfg, infer_fn), "audio-s/s")
+
+    if not args.full:
+        return
+    # #1 single-clip latency (ratio vs baseline is N/A for a latency metric)
+    _emit("single_clip_latency", bench_single_clip(cfg, infer_fn), "ms/60s-clip", vs=0.0)
+    # #3 long-form streaming throughput (host IO included)
+    _emit("streaming_audio_seconds_per_sec", bench_streaming(cfg, infer_fn), "audio-s/s")
+    # #4 training step throughput
+    _emit("train_audio_seconds_per_sec", bench_train_step(cfg), "audio-s/s")
+    # #5 scaled backbone (Bottleneck [3,4,6,3])
+    infer50, _, _ = _build_infer(cfg, block="Bottleneck", layers=[3, 4, 6, 3])
+    _emit("scaled_backbone_audio_seconds_per_sec", bench_batched(cfg, infer50), "audio-s/s")
 
 
 if __name__ == "__main__":

@@ -147,3 +147,26 @@ def test_event_map_perfect_and_degraded():
     # missing class entirely -> AP 0 for it
     ap1 = event_average_precision(perfect[:2], gt, class_idx=1)
     assert ap1 == 0.0
+
+
+def test_sharded_inference_matches_single_device(trained):
+    """Batch-sharded inference on an 8-device virtual mesh must produce the
+    same detections as single-device."""
+    import jax.numpy as jnp
+
+    from audioyolo_tpu.parallel import make_mesh
+
+    cfg, model, variables, class2idx = trained
+    folded = fold_repvgg(variables)
+    deploy = AudioDetectionModel.from_config(cfg, num_classes=len(class2idx), deploy=True)
+
+    rng = np.random.default_rng(3)
+    audio = jnp.asarray((rng.standard_normal((8, 1, cfg.clip_samples)) * 0.1).astype(np.float32))
+
+    f1 = make_inference_fn(deploy, folded, 0.1, 0.05, keep_k=32)
+    f8 = make_inference_fn(deploy, folded, 0.1, 0.05, keep_k=32, mesh=make_mesh(8))
+    d1 = {k: np.asarray(v) for k, v in f1(audio).items()}
+    d8 = {k: np.asarray(v) for k, v in f8(audio).items()}
+    assert (d1["valid"] == d8["valid"]).all()
+    np.testing.assert_allclose(d1["confidence"], d8["confidence"], rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(d1["center"], d8["center"], rtol=1e-4, atol=1e-4)

@@ -75,7 +75,7 @@ def resolve_datasets(cfg, max_targets):
     )
 
 
-def run(cfg, data_parallel: bool = False):
+def run(cfg, data_parallel: bool = False, resume: bool = False):
     tc = cfg.raw["train_config"]
     tpu_cfg = cfg.raw.get("tpu_config", {})
     max_targets = int(tpu_cfg.get("max_targets", 48))
@@ -86,11 +86,15 @@ def run(cfg, data_parallel: bool = False):
 
     batch_size = int(tc["batch_size"])
     last_batch = "pad" if data_parallel else "partial"
+    transfer_dtype = tpu_cfg.get("transfer_dtype", "float32")
     train_loader = BatchLoader(
         train_ds, batch_size, shuffle=bool(tc.get("shuffle_samples", True)),
-        seed=SEED, last_batch=last_batch,
+        seed=SEED, last_batch=last_batch, transfer_dtype=transfer_dtype,
     )
-    eval_loader = BatchLoader(eval_ds, batch_size, shuffle=False, last_batch=last_batch)
+    eval_loader = BatchLoader(
+        eval_ds, batch_size, shuffle=False, last_batch=last_batch,
+        transfer_dtype=transfer_dtype,
+    )
 
     dtype = None
     if tpu_cfg.get("compute_dtype") in ("bfloat16", "bf16"):
@@ -137,7 +141,14 @@ def run(cfg, data_parallel: bool = False):
 
     verbose = bool(tc.get("verbose", True))
     best_loss = np.inf
-    for epoch in range(int(tc["epochs"])):
+    start_epoch = 0
+    if resume and os.path.exists(trainer.resume_checkpoint_path):
+        state, start_epoch, best_loss = trainer.load_checkpoint(state)
+        print(
+            f"[{datetime.now():%Y-%m-%d %H:%M:%S}] Resumed from epoch {start_epoch} "
+            f"(best eval loss {best_loss:.4f})"
+        )
+    for epoch in range(start_epoch, int(tc["epochs"])):
         print(f"\n[{datetime.now():%Y-%m-%d %H:%M:%S}]: Epoch {epoch}")
         state, _ = trainer.train(state, train_loader, verbose=verbose)
         eval_metrics = trainer.evaluate(state, eval_loader, verbose=verbose)
@@ -149,6 +160,7 @@ def run(cfg, data_parallel: bool = False):
                 f"[{datetime.now():%Y-%m-%d %H:%M:%S}] Model saved at epoch: "
                 f"{epoch + 1} loss: {best_loss}"
             )
+        trainer.save_checkpoint(state, epoch, best_loss)
     trainer.metrics_to_csv()
     trainer.save_metrics_plots(figsize=(25, 10))
 
@@ -165,5 +177,9 @@ if __name__ == "__main__":
         "--data_parallel", action="store_true",
         help="shard batches over all visible devices (ICI data parallelism)",
     )
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="resume from <model_path>/checkpoint.msgpack if present",
+    )
     args = parser.parse_args()
-    run(load_config(args.config), data_parallel=args.data_parallel)
+    run(load_config(args.config), data_parallel=args.data_parallel, resume=args.resume)
