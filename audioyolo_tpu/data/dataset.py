@@ -239,6 +239,11 @@ class AudioDataset:
     def collate(items: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
         return {k: np.stack([it[k] for it in items], axis=0) for k in items[0]}
 
+    # API-compat alias (reference exposes ``AudioDataset.collate_fn``,
+    # dataset.py:277-283; here items are fixed-capacity dicts, so collation is
+    # a plain stack rather than a ragged concat)
+    collate_fn = collate
+
 
 class AudioConcatDataset:
     """Concatenation of AudioDatasets with a merged class vocabulary

@@ -60,6 +60,26 @@ def read_wav_info(path: str) -> Tuple[int, int, int]:
         return rate, data_size // frame_bytes, channels
 
 
+def read_wav_pcm16_mono(
+    path: str, frame_offset: int = 0, num_frames: Optional[int] = None
+) -> Optional[np.ndarray]:
+    """Raw int16 span read for mono PCM16 files; None if the file is any other
+    format. Zero decode work on host — pairs with the frontend's in-graph
+    ``x / 32768`` dequantization for 4x cheaper host->device transfers while
+    staying bit-identical to the float path."""
+    with open(path, "rb") as f:
+        audio_format, channels, rate, bits, data_off, data_size = _parse_header(f)
+        if audio_format != WAVE_FORMAT_PCM or bits != 16 or channels != 1:
+            return None
+        total = data_size // 2
+        start = min(max(frame_offset, 0), total)
+        count = total - start if num_frames is None else max(num_frames, 0)
+        count = min(count, total - start)
+        f.seek(data_off + start * 2)
+        raw = f.read(count * 2)
+    return np.frombuffer(raw, dtype="<i2", count=len(raw) // 2)
+
+
 def read_wav(
     path: str,
     frame_offset: int = 0,

@@ -1,5 +1,5 @@
 from .assign import assign_targets_to_scale  # noqa: F401
-from .loss import AudioDetectionLoss, compute_ciou  # noqa: F401
+from .loss import AudioDetectionLoss, compute_ciou, focal_loss_with_logits  # noqa: F401
 from .ema import EMAState, ema_init, ema_update  # noqa: F401
 from .optim import make_optimizer, make_lr_schedule  # noqa: F401
 from .trainer import TrainerPipeline, TrainState  # noqa: F401

@@ -68,6 +68,20 @@ def _bce_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:
     return jnp.maximum(logits, 0.0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
+def focal_loss_with_logits(
+    logits: jax.Array,
+    targets: jax.Array,
+    alpha: float = 0.25,
+    gamma: float = 1.5,
+) -> jax.Array:
+    """Standalone focal BCE (reference ``FocalLoss``, ``modules/_loss.py:9-36``,
+    with_logits form): ``alpha * (1 - exp(-bce))**gamma * bce``, elementwise —
+    reduce with mean/sum at the call site."""
+    bce = _bce_logits(logits, targets)
+    pt = jnp.exp(-bce)
+    return alpha * (1.0 - pt) ** gamma * bce
+
+
 def _masked_mean(x: jax.Array, mask: jax.Array, empty_value: float = 0.0) -> jax.Array:
     m = mask.astype(jnp.float32)
     n = jnp.sum(m)
@@ -120,11 +134,9 @@ class AudioDetectionLoss:
     # ---- per-scale -----------------------------------------------------
 
     def _conf_loss(self, logits: jax.Array, targets: jax.Array) -> jax.Array:
-        bce = _bce_logits(logits, targets)
         if not self.focal:
-            return jnp.mean(bce)
-        pt = jnp.exp(-bce)
-        return jnp.mean(self.alpha * (1.0 - pt) ** self.gamma * bce)
+            return jnp.mean(_bce_logits(logits, targets))
+        return jnp.mean(focal_loss_with_logits(logits, targets, self.alpha, self.gamma))
 
     def scale_loss(
         self, preds: jax.Array, targets: Dict[str, jax.Array], anchors: jax.Array

@@ -43,7 +43,7 @@ def _emit(metric, value, unit, vs=None):
     }))
 
 
-def _build_infer(cfg, block=None, layers=None, keep_k=128):
+def _build_infer(cfg, block=None, layers=None, keep_k=128, packed=False):
     from audioyolo_tpu.infer import make_inference_fn
     from audioyolo_tpu.models import AudioDetectionModel, fold_repvgg
 
@@ -60,7 +60,7 @@ def _build_infer(cfg, block=None, layers=None, keep_k=128):
     deploy = AudioDetectionModel.from_config(
         raw, num_classes=NUM_CLASSES, deploy=True, dtype=jnp.bfloat16
     )
-    return make_inference_fn(deploy, variables, 0.1, 0.2, keep_k), variables, raw
+    return make_inference_fn(deploy, variables, 0.1, 0.2, keep_k, packed=packed), variables, raw
 
 
 def _steady_state(fn, arg, iters=ITERS, warmup=WARMUP):
@@ -96,10 +96,10 @@ def bench_streaming(cfg, infer_fn, tmpdir="/tmp/bench_stream"):
     from audioyolo_tpu.infer import evaluate_audio
 
     os.makedirs(tmpdir, exist_ok=True)
-    minutes = 10
+    minutes = 30
     sr = cfg.sample_rate
     total = minutes * 60 * sr
-    path = os.path.join(tmpdir, "long.wav")
+    path = os.path.join(tmpdir, f"long{minutes}.wav")
     if not os.path.exists(path):
         x = (np.random.default_rng(2).standard_normal(total) * 0.1).astype(np.float32)
         write_wav(path, x, sr)
@@ -168,8 +168,10 @@ def main():
         return
     # #1 single-clip latency (ratio vs baseline is N/A for a latency metric)
     _emit("single_clip_latency", bench_single_clip(cfg, infer_fn), "ms/60s-clip", vs=0.0)
-    # #3 long-form streaming throughput (host IO included)
-    _emit("streaming_audio_seconds_per_sec", bench_streaming(cfg, infer_fn), "audio-s/s")
+    # #3 long-form streaming throughput (host IO + transfers included);
+    # packed single-buffer detection fetch + int16 chunk transfer
+    infer_packed, _, _ = _build_infer(cfg, packed=True)
+    _emit("streaming_audio_seconds_per_sec", bench_streaming(cfg, infer_packed), "audio-s/s")
     # #4 training step throughput
     _emit("train_audio_seconds_per_sec", bench_train_step(cfg), "audio-s/s")
     # #5 scaled backbone (Bottleneck [3,4,6,3])

@@ -76,7 +76,10 @@ def build_inference(cfg, num_classes, model_path, iou_threshold, conf_threshold,
     else:
         model = train_model
     keep_k = int(cfg.raw.get("tpu_config", {}).get("nms_keep", 128))
-    return make_inference_fn(model, variables, iou_threshold, conf_threshold, keep_k)
+    # packed output: one device->host buffer per chunk (see infer/decode.py)
+    return make_inference_fn(
+        model, variables, iou_threshold, conf_threshold, keep_k, packed=True
+    )
 
 
 def main():

@@ -211,3 +211,17 @@ def test_focal_conf_loss():
     targets = {k: jnp.asarray(v) for k, v in _toy_batch().items()}
     loss, _ = loss_fn(_toy_preds(), targets)
     assert np.isfinite(float(loss))
+
+
+def test_focal_loss_standalone_matches_formula():
+    from audioyolo_tpu.train import focal_loss_with_logits
+
+    logits = jnp.asarray([-2.0, 0.0, 3.0])
+    targets = jnp.asarray([0.0, 1.0, 1.0])
+    alpha, gamma = 0.25, 1.5
+    bce = np.maximum(logits, 0) - logits * targets + np.log1p(np.exp(-np.abs(logits)))
+    expected = alpha * (1 - np.exp(-bce)) ** gamma * bce
+    np.testing.assert_allclose(
+        np.asarray(focal_loss_with_logits(logits, targets, alpha, gamma)),
+        np.asarray(expected), rtol=1e-5,
+    )

@@ -160,3 +160,22 @@ def test_import_unconsumed_key_raises(tiny_cfg, rng):
     torch_state["totally.unknown.weight"] = np.zeros(3, np.float32)
     with pytest.raises(ValueError, match="unconsumed"):
         import_torch_state_dict(torch_state, template)
+
+def test_bottleneck_backbone_forward(tiny_cfg, rng):
+    """Bottleneck ResNet variant (resnet_config.block) produces the same
+    proposal geometry with 4x channel widths."""
+    from audioyolo_tpu.config import Config
+
+    raw = tiny_cfg.to_dict()
+    raw["resnet_config"] = {"block": "Bottleneck"}
+    raw["block_layers"] = [1, 1, 1, 1]
+    cfg = Config(raw)
+    import jax, jax.numpy as jnp
+    from audioyolo_tpu.models import AudioDetectionModel
+
+    model = AudioDetectionModel.from_config(cfg, num_classes=2)
+    x = jnp.zeros((1, 1, cfg.clip_samples))
+    v = model.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)}, x, train=False)
+    out = model.apply(v, x, train=False, combine_scales=True)
+    assert out.shape == (1, cfg.total_proposals, 5)
+    assert v["params"]["feature_extractor"]["layer4_0"]["conv3"]["conv"]["kernel"].shape[-1] == 2048
