@@ -14,7 +14,7 @@ from __future__ import annotations
 import copy
 import math
 import os
-from typing import Any, Dict, List, Optional, Union
+from typing import Any, Dict, List, Union
 
 import yaml
 

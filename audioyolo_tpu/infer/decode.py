@@ -11,7 +11,7 @@ sorting on ``(survived, confidence)`` — no data-dependent shapes anywhere.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ optionally IoU thresholds, COCO-style 0.5:0.05:0.95).
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Sequence, Tuple
+from typing import Dict, Iterable, Sequence, Tuple
 
 import numpy as np
 

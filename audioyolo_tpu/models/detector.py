@@ -12,7 +12,7 @@ Anchors are stored as parameters normalized by ``sample_duration``
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple, Union
+from typing import Any, Dict, Optional, Union
 
 import jax
 import jax.numpy as jnp

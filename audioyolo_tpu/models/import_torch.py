@@ -28,9 +28,8 @@ imported. ``num_batches_tracked`` is ignored.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
-import jax
 import numpy as np
 
 # leaf-name translation: (flax leaf path suffix) -> (torch suffix, transform)

@@ -15,7 +15,7 @@ few MB of arithmetic.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import numpy as np
 

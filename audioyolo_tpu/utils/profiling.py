@@ -15,7 +15,7 @@ import glob
 import gzip
 import json
 import os
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import jax
 

@@ -21,11 +21,9 @@ import os
 
 import numpy as np
 
-import jax.numpy as jnp
-
 from audioyolo_tpu.config import load_config
 from audioyolo_tpu.data import AudioDataset, BatchLoader
-from audioyolo_tpu.infer import make_inference_fn, postprocess_detections
+from audioyolo_tpu.infer import postprocess_detections
 from audioyolo_tpu.infer.eval_map import event_map
 from inference import build_inference, get_label_map
 from train import load_annotations
@@ -74,11 +72,20 @@ def main():
         cfg, num_classes, model_path, args.iou_threshold, args.conf_threshold
     )
 
+    from audioyolo_tpu.infer.decode import unpack_detections
+
     detections, ground_truth = [], []
     loader = BatchLoader(ds, batch_size, shuffle=False, last_batch="partial")
     clip = 0
     for batch in loader:
-        dets = {k: np.asarray(v) for k, v in infer_fn(jnp.asarray(batch["audio"])).items()}
+        import jax
+
+        out = infer_fn(jax.device_put(batch["audio"]))
+        dets = (
+            unpack_detections(np.asarray(out))
+            if not isinstance(out, dict)
+            else {k: np.asarray(v) for k, v in out.items()}
+        )
         rows = postprocess_detections(dets, cfg.sample_duration, return_start_end=True)
         b = batch["audio"].shape[0]
         for i in range(b):

@@ -18,7 +18,6 @@ import json
 import os
 
 import jax.numpy as jnp
-import numpy as np
 from flax import serialization
 
 from audioyolo_tpu.config import load_config
