@@ -109,6 +109,12 @@ class TrainerPipeline:
         ema_n = int(self.ema_config.get("N", 2000))
         base_key = self.base_key
 
+        def metrics_vector(metrics: Dict[str, jax.Array]) -> jax.Array:
+            # one (10,) device buffer instead of ten scalars: a remote host
+            # pays a full round trip per fetched buffer, so per-scalar metric
+            # fetches cost seconds per epoch through a tunnelled runtime
+            return jnp.stack([metrics[k] for k in METRIC_KEYS])
+
         def train_step(state: TrainState, audio, targets):
             rng = jax.random.fold_in(base_key, state.step)
 
@@ -138,7 +144,7 @@ class TrainerPipeline:
                 ema=new_ema,
                 step=state.step + 1,
             )
-            return new_state, metrics
+            return new_state, metrics_vector(metrics)
 
         def eval_step(state: TrainState, audio, targets):
             params = state.ema.params if use_ema else state.params
@@ -148,7 +154,7 @@ class TrainerPipeline:
                 train=False,
             )
             _, metrics = loss_fn(preds, targets)
-            return metrics
+            return metrics_vector(metrics)
 
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
@@ -200,7 +206,7 @@ class TrainerPipeline:
     def train(self, state: TrainState, loader: Iterable[Dict[str, np.ndarray]], verbose: bool = False):
         if self._train_step is None:
             self._build_steps()
-        collected: List[Dict[str, jax.Array]] = []
+        collected: List[jax.Array] = []
         for audio, targets in self._device_prefetch(loader):
             state, metrics = self._train_step(state, audio, targets)
             collected.append(metrics)
@@ -213,7 +219,7 @@ class TrainerPipeline:
     def evaluate(self, state: TrainState, loader: Iterable[Dict[str, np.ndarray]], verbose: bool = False):
         if self._eval_step is None:
             self._build_steps()
-        collected: List[Dict[str, jax.Array]] = []
+        collected: List[jax.Array] = []
         for audio, targets in self._device_prefetch(loader):
             collected.append(self._eval_step(state, audio, targets))
         epoch_metrics = self._reduce(collected)
@@ -223,12 +229,14 @@ class TrainerPipeline:
         return epoch_metrics
 
     @staticmethod
-    def _reduce(collected: List[Dict[str, jax.Array]]) -> Dict[str, float]:
+    def _reduce(collected: List[jax.Array]) -> Dict[str, float]:
+        """(n_batches, 10) metric vectors -> epoch-mean dict; a single stacked
+        device array means exactly one device->host fetch per epoch."""
         if not collected:
             return {k: float("nan") for k in METRIC_KEYS}
-        # single host sync per epoch
-        stacked = {k: np.asarray([m[k] for m in collected], dtype=np.float64) for k in collected[0]}
-        return {k: float(v.mean()) for k, v in stacked.items()}
+        arr = np.asarray(jnp.stack(collected), dtype=np.float64)
+        means = arr.mean(axis=0)
+        return {k: float(means[i]) for i, k in enumerate(METRIC_KEYS)}
 
     @staticmethod
     def _log(mode: str, metrics: Dict[str, float]):

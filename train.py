@@ -148,6 +148,10 @@ def run(cfg, data_parallel: bool = False, resume: bool = False):
             f"[{datetime.now():%Y-%m-%d %H:%M:%S}] Resumed from epoch {start_epoch} "
             f"(best eval loss {best_loss:.4f})"
         )
+    # full resume checkpoints are ~2x model size; write them every N epochs
+    # (the best-model artifact is still saved on every eval-loss improvement)
+    ckpt_every = max(int(tpu_cfg.get("checkpoint_every", 1)), 1)
+    last_epoch = int(tc["epochs"]) - 1
     for epoch in range(start_epoch, int(tc["epochs"])):
         print(f"\n[{datetime.now():%Y-%m-%d %H:%M:%S}]: Epoch {epoch}")
         state, _ = trainer.train(state, train_loader, verbose=verbose)
@@ -160,7 +164,8 @@ def run(cfg, data_parallel: bool = False, resume: bool = False):
                 f"[{datetime.now():%Y-%m-%d %H:%M:%S}] Model saved at epoch: "
                 f"{epoch + 1} loss: {best_loss}"
             )
-        trainer.save_checkpoint(state, epoch, best_loss)
+        if epoch % ckpt_every == 0 or epoch == last_epoch:
+            trainer.save_checkpoint(state, epoch, best_loss)
     trainer.metrics_to_csv()
     trainer.save_metrics_plots(figsize=(25, 10))
 
