@@ -140,13 +140,14 @@ def bench_train_step(cfg):
     state = trainer.create_state(batch["audio"][:1])
     trainer._build_steps()
     audio, targets = trainer._put_batch(batch)
+    # _train_step returns a stacked (10,) metrics vector (METRIC_KEYS order)
     state, m = trainer._train_step(state, audio, targets)  # compile
-    jax.block_until_ready(m["aggregate_loss"])
+    jax.block_until_ready(m)
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = trainer._train_step(state, audio, targets)
-    jax.block_until_ready(m["aggregate_loss"])
+    jax.block_until_ready(m)
     dt = (time.perf_counter() - t0) / iters
     return BATCH * float(cfg.sample_duration) / dt
 
