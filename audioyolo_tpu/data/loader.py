@@ -10,7 +10,11 @@ host ahead of the device so the jitted step never waits on IO.
   emitted as-is (costs one extra XLA compilation for the remainder shape);
 - ``"pad"`` — repeat-pad to full batch size with ``valid=False`` targets and
   a ``clip_valid`` mask (use for sharded multi-chip runs where the leading
-  axis must divide the mesh);
+  axis must divide the mesh). The loss masks padded clips out of every term
+  and metric (train/loss.py), so they contribute nothing — the one residual
+  train-mode effect is that BatchNorm batch statistics still see the
+  duplicated clips (bounded: duplicates of a real clip shift stats by at most
+  one batch fraction; eval mode is exact);
 - ``"drop"`` — drop the remainder.
 """
 

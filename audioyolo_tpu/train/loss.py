@@ -133,10 +133,12 @@ class AudioDetectionLoss:
 
     # ---- per-scale -----------------------------------------------------
 
-    def _conf_loss(self, logits: jax.Array, targets: jax.Array) -> jax.Array:
+    def _conf_loss(self, logits: jax.Array, targets: jax.Array, mask: jax.Array) -> jax.Array:
         if not self.focal:
-            return jnp.mean(_bce_logits(logits, targets))
-        return jnp.mean(focal_loss_with_logits(logits, targets, self.alpha, self.gamma))
+            elem = _bce_logits(logits, targets)
+        else:
+            elem = focal_loss_with_logits(logits, targets, self.alpha, self.gamma)
+        return _masked_mean(elem, mask)
 
     def scale_loss(
         self, preds: jax.Array, targets: Dict[str, jax.Array], anchors: jax.Array
@@ -148,6 +150,14 @@ class AudioDetectionLoss:
             targets["widths"],
             targets["valid"],
         )
+        # clip_valid (B,) marks repeat-padded clips in last_batch="pad" mode
+        # (data/loader.py): padded rows must not contribute objectness
+        # negatives or metrics — the reference's partial final batch contains
+        # only real clips (pipeline/_trainer.py:87-118).
+        clip_valid = targets.get("clip_valid")
+        if clip_valid is None:
+            clip_valid = jnp.ones((b,), bool)
+        valid = valid & clip_valid[:, None]
         n = classes.shape[1]
 
         asn = assign_targets_to_scale(
@@ -175,10 +185,13 @@ class AudioDetectionLoss:
             jnp.where(pv, ciou_d, 0.0)
         )
         p_conf = preds[..., 0]
-        conf_loss = self._conf_loss(p_conf, t_conf)
+        clip_grid = jnp.broadcast_to(clip_valid[:, None, None], p_conf.shape)
+        conf_loss = self._conf_loss(p_conf, t_conf, clip_grid)
         pos_conf = jax.nn.sigmoid(match[..., 0])
         avg_pos_conf = _masked_mean(pos_conf, pv, empty_value=jnp.nan)
-        avg_neg_conf = _masked_mean(jax.nn.sigmoid(p_conf), t_conf == 0, empty_value=jnp.nan)
+        avg_neg_conf = _masked_mean(
+            jax.nn.sigmoid(p_conf), (t_conf == 0) & clip_grid, empty_value=jnp.nan
+        )
 
         # class loss over pairs whose target class is not the ignore index
         cls_pv = pv & (classes[:, :, None, None] != self.ignore_index)

@@ -178,7 +178,10 @@ class TrainerPipeline:
         synchronous and ~30x slower through a remote device tunnel (measured:
         4.2 s vs 0.15 s for a 32-clip fp32 batch)."""
         audio = batch["audio"]
-        targets = {k: batch[k] for k in ("classes", "centers", "widths", "valid")}
+        keys = ("classes", "centers", "widths", "valid")
+        targets = {k: batch[k] for k in keys}
+        if "clip_valid" in batch:  # pad-mode loader: mask repeat-padded clips
+            targets["clip_valid"] = batch["clip_valid"]
         if self.mesh is not None:
             data = NamedSharding(self.mesh, P(self.data_axis))
             audio = jax.device_put(audio, data)

@@ -114,6 +114,81 @@ def test_data_parallel_matches_single_device(tmp_path, tiny_cfg):
         assert diff.max() < 3e-3  # bounded by ~2*lr
 
 
+def test_clip_valid_masks_padded_clips(tiny_cfg):
+    """Repeat-padded clips (last_batch="pad") must contribute nothing: loss
+    and every metric on the padded batch + clip_valid mask equal the values
+    on the unpadded batch (reference's partial final batch has only real
+    clips, pipeline/_trainer.py:87-118)."""
+    rng = np.random.default_rng(11)
+    nc = 2
+    loss_fn = AudioDetectionLoss(
+        tiny_cfg.raw["anchors"], nc, sample_duration=tiny_cfg.sample_duration,
+        multi_label=True, label_smoothing=0.08,
+    )
+    grids = tiny_cfg.grid_sizes
+    b_real, b_pad, n = 5, 8, 6
+    preds_real = tuple(
+        jnp.asarray(rng.standard_normal((b_real, g, 3, 3 + nc)), jnp.float32)
+        for g in grids
+    )
+    tgt_real = {
+        "classes": jnp.asarray(rng.integers(0, nc, (b_real, n)), jnp.int32),
+        "centers": jnp.asarray(rng.uniform(0.5, 3.5, (b_real, n)), jnp.float32),
+        "widths": jnp.asarray(rng.uniform(0.2, 2.0, (b_real, n)), jnp.float32),
+        "valid": jnp.asarray(rng.random((b_real, n)) < 0.7),
+    }
+    reps = b_pad - b_real
+    pad = lambda v: jnp.concatenate([v, jnp.repeat(v[-1:], reps, axis=0)], axis=0)
+    preds_pad = tuple(pad(p) for p in preds_real)
+    tgt_pad = {k: pad(v) for k, v in tgt_real.items()}
+    tgt_pad["valid"] = tgt_pad["valid"].at[b_real:].set(False)
+    tgt_pad["clip_valid"] = jnp.arange(b_pad) < b_real
+
+    loss_r, m_r = jax.jit(loss_fn)(preds_real, tgt_real)
+    loss_p, m_p = jax.jit(loss_fn)(preds_pad, tgt_pad)
+    assert float(loss_p) == pytest.approx(float(loss_r), rel=1e-5)
+    for k in m_r:
+        assert float(m_p[k]) == pytest.approx(float(m_r[k]), rel=1e-5, abs=1e-7), k
+
+    # without the mask, padded objectness negatives shift the conf loss
+    tgt_nomask = {k: v for k, v in tgt_pad.items() if k != "clip_valid"}
+    _, m_nomask = jax.jit(loss_fn)(preds_pad, tgt_nomask)
+    assert float(m_nomask["conf_loss"]) != pytest.approx(float(m_r["conf_loss"]), rel=1e-5)
+
+
+def test_pad_mode_dp_eval_matches_partial(tmp_path, tiny_cfg):
+    """DP eval epoch over a pad-mode loader (final short batch repeat-padded
+    with clip_valid) must produce the same metrics as the unpadded batches on
+    a single device. The eval path is exact (running BN stats, no dropout);
+    train-mode equality is impossible by construction — BN batch statistics
+    see the duplicated clips and dropout draws depend on the batch shape —
+    so train-side correctness is covered by the pure loss-masking test above."""
+    root = str(tmp_path / "train")
+    ann = make_flat_dataset(root, n_files=6, seed=9)
+    ds = AudioDataset(root, ann, sample_duration=4, sample_rate=8000, max_targets=8)
+    nc = len(ds.class2idx)
+
+    # one full batch of 4 + a short batch of 2 (padded to 4 in pad mode)
+    loader_pad = BatchLoader(ds, batch_size=4, shuffle=False, last_batch="pad")
+    loader_partial = BatchLoader(ds, batch_size=4, shuffle=False, last_batch="partial")
+
+    _, _, t_dp = _build(tiny_cfg, nc, mesh=make_mesh(2))
+    _, _, t_single = _build(tiny_cfg, nc)
+
+    # same seed -> identical init params in both trainers
+    s_dp = t_dp.create_state(ds[0]["audio"][None])
+    s_single = t_single.create_state(ds[0]["audio"][None])
+
+    m_pad = t_dp.evaluate(s_dp, loader_pad)
+    m_partial = t_single.evaluate(s_single, loader_partial)
+    for k in m_partial:
+        assert m_pad[k] == pytest.approx(m_partial[k], rel=1e-4, abs=1e-6), k
+
+    # the train path must at least run and stay finite on a padded batch
+    s_dp, m_train = t_dp.train(s_dp, loader_pad)
+    assert np.isfinite(m_train["aggregate_loss"])
+
+
 def test_ema_training(tmp_path, tiny_cfg):
     root = str(tmp_path / "train")
     ann = make_flat_dataset(root, n_files=4, seed=6)
