@@ -160,6 +160,11 @@ def evaluate_audio(
     if pending is not None:
         drain(*pending)
 
+    # Time-order by start before the RLE merge. The reference keeps per-clip
+    # *center* order (inference.py:93-99), under which a wide interval whose
+    # center is late can precede an earlier-starting one — RLE-merging that
+    # order can split events; intended behavior is time-ordered rows.
+    all_rows.sort(key=lambda r: (r["start"], r["end"]))
     rows = [
         {
             "start": timedelta(seconds=round(r["start"], 2)),

@@ -44,6 +44,32 @@ def hann_window(n: int, periodic: bool = True, dtype=np.float32) -> np.ndarray:
     return (0.5 * (1.0 - np.cos(2.0 * np.pi * k / denom))).astype(dtype)
 
 
+_WINDOW_FNS = {
+    "hann": np.hanning,
+    "hamming": np.hamming,
+    "blackman": np.blackman,
+    "bartlett": np.bartlett,
+    "kaiser": lambda n: np.kaiser(n, 12.0),  # torch.kaiser_window default beta
+}
+
+
+def taper_window(name: str, n: int, periodic: bool = False, dtype=np.float32) -> np.ndarray:
+    """``torch.<name>_window(n, periodic=...)`` equivalent for the input taper
+    (reference builds any such window reflectively,
+    ``modules/_architecture.py:89-94``)."""
+    try:
+        fn = _WINDOW_FNS[name]
+    except KeyError:
+        raise ValueError(
+            f"unsupported taper window '{name}'; supported: {sorted(_WINDOW_FNS)}"
+        ) from None
+    if n == 1:
+        return np.ones(1, dtype=dtype)
+    if periodic:  # periodic = symmetric window of length n+1, last sample dropped
+        return fn(n + 1)[:n].astype(dtype)
+    return fn(n).astype(dtype)
+
+
 def dft_power_matrix(n_fft: int, window: np.ndarray, dtype=np.float32) -> np.ndarray:
     """Window-folded real-DFT matrix, shape ``(n_fft, 2*(n_fft//2+1))``.
 
@@ -204,34 +230,20 @@ def standardize_per_channel(x: jax.Array, e: float = 1e-5) -> jax.Array:
 # --------------------------------------------------------------------------
 
 
-class SpectralFrontend:
-    """waveform @ dataset rate -> (B, n_mels, n_frames, 2) NHWC feature image.
+class MelBranch:
+    """One MelSpectrogram equivalent (window-folded DFT GEMM + mel GEMM),
+    parameter conventions and defaults matching torchaudio's
+    ``MelSpectrogram`` (win_length=n_fft, hop=win_length//2, center=True,
+    power=2, htk scale, no norm)."""
 
-    Channel 0 is the log-mel spectrogram, channel 1 the MFCC image, both passed
-    through the 80 dB floor and (optionally) standardized, matching the
-    reference forward at ``modules/_architecture.py:84-108``. The underlying
-    mel power spectrogram is computed once and shared by both branches when the
-    mel/MFCC configs agree (they do in the shipped config).
-    """
-
-    def __init__(self, config=None):
-        cfg = load_config(config) if not isinstance(config, Config) else config
-        self.cfg = cfg
-        mel_cfg = cfg.raw["melspectrogram_config"]
-        mfcc_cfg = cfg.raw["mfcc_config"]
-        self.sr_in = cfg.sample_rate
-        self.sr_model = cfg.new_sample_rate
-        self.resampler = Resampler(self.sr_in, self.sr_model)
-
+    def __init__(self, mel_cfg: dict, sr_model: int):
         self.n_fft = int(mel_cfg["n_fft"])
-        self.hop = int(mel_cfg.get("hop_length") or self.n_fft)
         self.win_length = int(mel_cfg.get("win_length") or self.n_fft)
+        self.hop = int(mel_cfg.get("hop_length") or self.win_length // 2)
         self.center = bool(mel_cfg.get("center", True))
         self.pad_mode = mel_cfg.get("pad_mode", "reflect")
         self.power = float(mel_cfg.get("power", 2.0))
-        self.n_mels = int(mel_cfg["n_mels"])
-        self.n_mfcc = int(mfcc_cfg["n_mfcc"])
-        self.shared_mel = dict(mfcc_cfg["melkwargs"]) == dict(mel_cfg)
+        self.n_mels = int(mel_cfg.get("n_mels", 128))
 
         window = np.zeros(self.n_fft, dtype=np.float64)
         w = hann_window(self.win_length, periodic=True, dtype=np.float64)
@@ -243,20 +255,61 @@ class SpectralFrontend:
             mel_filterbank(
                 self.n_fft // 2 + 1,
                 self.n_mels,
-                self.sr_model,
+                sr_model,
+                f_min=float(mel_cfg.get("f_min", 0.0)),
+                f_max=mel_cfg.get("f_max"),
                 mel_scale=mel_cfg.get("mel_scale", "htk"),
                 norm=mel_cfg.get("norm"),
             )
         )
-        self.dct_m = jnp.asarray(dct_matrix(self.n_mfcc, self.n_mels, ortho=True))
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """(B, samples) -> (B, n_frames, n_mels) mel power."""
+        p = stft_power(x, self.dft_w, self.n_fft, self.hop, self.center, self.pad_mode, self.power)
+        return jnp.matmul(p, self.mel_fb, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+
+
+class SpectralFrontend:
+    """waveform @ dataset rate -> (B, n_mels, n_frames, 2) NHWC feature image.
+
+    Channel 0 is the log-mel spectrogram, channel 1 the MFCC image, both passed
+    through the 80 dB floor and (optionally) standardized, matching the
+    reference forward at ``modules/_architecture.py:84-108``. The underlying
+    mel power spectrogram is computed once and shared by both branches when
+    ``mfcc_config.melkwargs`` equals ``melspectrogram_config`` (it does in the
+    shipped config); otherwise the MFCC branch runs its own STFT + filterbank,
+    exactly as the reference builds two independent transforms
+    (``modules/_architecture.py:30-37``).
+    """
+
+    def __init__(self, config=None):
+        cfg = load_config(config) if not isinstance(config, Config) else config
+        self.cfg = cfg
+        mel_cfg = cfg.raw["melspectrogram_config"]
+        mfcc_cfg = cfg.raw["mfcc_config"]
+        self.sr_in = cfg.sample_rate
+        self.sr_model = cfg.new_sample_rate
+        self.resampler = Resampler(self.sr_in, self.sr_model)
+
+        self.mel = MelBranch(mel_cfg, self.sr_model)
+        self.n_mels = self.mel.n_mels
+        mk = dict(mfcc_cfg.get("melkwargs") or {})
+        self.shared_mel = mk == dict(mel_cfg)
+        self.mfcc_mel = self.mel if self.shared_mel else MelBranch(mk, self.sr_model)
+
+        self.n_mfcc = int(mfcc_cfg["n_mfcc"])
+        self.log_mels = bool(mfcc_cfg.get("log_mels", False))
+        self.dct_m = jnp.asarray(
+            dct_matrix(self.n_mfcc, self.mfcc_mel.n_mels,
+                       ortho=mfcc_cfg.get("norm", "ortho") == "ortho")
+        )
 
         self.taper = None
         if cfg.raw.get("taper_input"):
-            if cfg.raw.get("taper_window", "hann") != "hann":
-                raise NotImplementedError("only hann taper windows are supported")
-            self.taper = jnp.asarray(
-                hann_window(cfg.model_samples, periodic=False, dtype=np.float32)
-            )
+            self.taper = jnp.asarray(taper_window(
+                cfg.raw.get("taper_window", "hann"), cfg.model_samples, periodic=False
+            ))
         self.scale_input = bool(cfg.raw.get("scale_input", True))
 
     def __call__(self, audio: jax.Array) -> jax.Array:
@@ -274,13 +327,18 @@ class SpectralFrontend:
         if self.taper is not None:
             x = x * self.taper[None, :]
 
-        # (B, T, F) power spectrogram -> (B, T, M) mel power.
-        p = stft_power(x, self.dft_w, self.n_fft, self.hop, self.center, self.pad_mode, self.power)
-        mel_power = jnp.matmul(p, self.mel_fb, preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
+        # (B, T, M) mel power for the spectrogram branch.
+        mel_power = self.mel(x)
 
-        # MFCC branch: log-mel (no floor) -> ortho DCT-II -> outer 80 dB floor.
-        log_mel = amplitude_to_db(mel_power, top_db=None)
+        # MFCC branch: torchaudio's MFCC (log_mels=False) floors the log-mel
+        # at 80 dB below the per-sample max before the DCT — its internal
+        # AmplitudeToDB("power", 80.0) is hardcoded in MFCC.__init__; with
+        # log_mels=True it takes log(mel + 1e-6) instead.
+        mfcc_mel_power = mel_power if self.shared_mel else self.mfcc_mel(x)
+        if self.log_mels:
+            log_mel = jnp.log(mfcc_mel_power + 1e-6)
+        else:
+            log_mel = amplitude_to_db(mfcc_mel_power, top_db=80.0)
         mfcc = jnp.matmul(log_mel, self.dct_m, preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST)
 

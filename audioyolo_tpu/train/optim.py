@@ -73,10 +73,60 @@ def make_lr_schedule(cfg: Dict[str, Any], base_lr: float, steps_per_epoch: int) 
         gamma = float(cfg.get("gamma", 0.95))
         return epochwise(lambda e: base_lr * gamma**e)
 
+    if name == "MultiStepLR":
+        milestones = sorted(int(m) for m in cfg.get("milestones", [30, 80]))
+        gamma = float(cfg.get("gamma", 0.1))
+        ms = jnp.asarray(milestones, jnp.float32)
+        return epochwise(lambda e: base_lr * gamma ** jnp.sum(e >= ms))
+
+    if name == "LinearLR":
+        start = float(cfg.get("start_factor", 1.0 / 3.0))
+        end = float(cfg.get("end_factor", 1.0))
+        total = int(cfg.get("total_iters", 5))
+        return epochwise(
+            lambda e: base_lr
+            * (start + (end - start) * jnp.minimum(e, total) / total)
+        )
+
+    if name == "PolynomialLR":
+        total = int(cfg.get("total_iters", 5))
+        power = float(cfg.get("power", 1.0))
+        return epochwise(
+            lambda e: base_lr * (1.0 - jnp.minimum(e, total) / total) ** power
+        )
+
+    if name == "OneCycleLR":
+        # epoch-indexed (the reference steps its scheduler once per epoch):
+        # cosine ramp-up to max_lr over pct_start, cosine anneal to
+        # max_lr / final_div_factor after.
+        total = int(cfg.get("total_steps") or cfg.get("epochs", 200))
+        max_lr = float(cfg.get("max_lr", base_lr))
+        pct_start = float(cfg.get("pct_start", 0.3))
+        div = float(cfg.get("div_factor", 25.0))
+        final_div = float(cfg.get("final_div_factor", 1e4))
+        initial = max_lr / div
+        final = initial / final_div
+        up = max(round(pct_start * total), 1)
+        down = max(total - up, 1)
+
+        def f(e):
+            cos = lambda frac: (1 + jnp.cos(math.pi * (1 - jnp.clip(frac, 0, 1)))) / 2
+            lr_up = initial + (max_lr - initial) * cos(e / up)
+            lr_down = final + (max_lr - final) * cos(1 - (e - up) / down)
+            return jnp.where(e < up, lr_up, lr_down)
+
+        return epochwise(f)
+
     if name in ("ConstantLR", None):
         return lambda step: base_lr
 
-    raise ValueError(f"unsupported lr scheduler '{name}'")
+    raise ValueError(
+        f"unsupported lr scheduler '{name}'; supported: "
+        "CosineAnnealingWarmRestarts, CosineAnnealingLR, StepLR, MultiStepLR, "
+        "ExponentialLR, LinearLR, PolynomialLR, OneCycleLR, ConstantLR "
+        "(ReduceLROnPlateau needs metric feedback and is not expressible as a "
+        "step schedule — use CosineAnnealingLR or StepLR instead)"
+    )
 
 
 def make_optimizer(
@@ -132,4 +182,39 @@ def make_optimizer(
         parts += [optax.scale_by_rms(decay=alpha, eps=eps), optax.scale_by_learning_rate(schedule)]
         return optax.chain(*parts)
 
-    raise ValueError(f"unsupported optimizer '{name}'")
+    # the remaining torch.optim names map onto optax transforms directly;
+    # weight_decay stays in the torch-L2 position (added to the gradient
+    # before the accumulator update), matching torch.optim semantics
+    def _l2_chain(*transforms):
+        parts = [optax.add_decayed_weights(wd)] if wd else []
+        return optax.chain(*parts, *transforms, optax.scale_by_learning_rate(schedule))
+
+    if name == "Adagrad":
+        eps = float(cfg.pop("eps", 1e-10))
+        iav = float(cfg.pop("initial_accumulator_value", 0.0))
+        return _l2_chain(optax.scale_by_rss(initial_accumulator_value=iav, eps=eps))
+
+    if name == "Adadelta":
+        rho = float(cfg.pop("rho", 0.9))
+        eps = float(cfg.pop("eps", 1e-6))
+        return _l2_chain(optax.scale_by_adadelta(rho=rho, eps=eps))
+
+    if name == "Adamax":
+        b1, b2 = cfg.pop("betas", (0.9, 0.999))
+        eps = float(cfg.pop("eps", 1e-8))
+        return _l2_chain(optax.scale_by_adamax(b1=float(b1), b2=float(b2), eps=eps))
+
+    if name == "NAdam":
+        b1, b2 = cfg.pop("betas", (0.9, 0.999))
+        eps = float(cfg.pop("eps", 1e-8))
+        return _l2_chain(optax.scale_by_adam(b1=float(b1), b2=float(b2), eps=eps, nesterov=True))
+
+    if name == "RAdam":
+        b1, b2 = cfg.pop("betas", (0.9, 0.999))
+        eps = float(cfg.pop("eps", 1e-8))
+        return _l2_chain(optax.scale_by_radam(b1=float(b1), b2=float(b2), eps=eps))
+
+    raise ValueError(
+        f"unsupported optimizer '{name}'; supported: Adam, AdamW, SGD, RMSprop, "
+        "Adagrad, Adadelta, Adamax, NAdam, RAdam"
+    )

@@ -22,6 +22,7 @@ from audioyolo_tpu.ops.frontend import (
     mel_filterbank,
     standardize_per_channel,
     stft_power,
+    taper_window,
 )
 
 
@@ -156,3 +157,95 @@ def test_frontend_silence_is_finite(tiny_cfg):
     fe = SpectralFrontend(tiny_cfg)
     out = np.asarray(fe(jnp.zeros((1, 1, tiny_cfg.clip_samples))))
     assert np.isfinite(out).all()
+
+
+def test_taper_windows_match_torch():
+    """Reference builds any torch.<name>_window reflectively
+    (modules/_architecture.py:89-94); ours must match each supported name."""
+    for name in ("hann", "hamming", "blackman", "bartlett", "kaiser"):
+        tfn = getattr(torch, f"{name}_window")
+        for n in (64, 201):
+            for periodic in (False, True):
+                ref = tfn(n, periodic=periodic).numpy()
+                np.testing.assert_allclose(
+                    taper_window(name, n, periodic=periodic), ref, atol=2e-6,
+                    err_msg=f"{name} n={n} periodic={periodic}",
+                )
+    with pytest.raises(ValueError):
+        taper_window("nuttall", 64)
+
+
+def _mfcc_oracle(x, mel_fb64, n_fft, hop, win_length, n_mfcc):
+    """float64 chain oracle: torch.stft power -> mel -> per-sample 80 dB
+    floored log-mel (torchaudio MFCC's internal AmplitudeToDB("power", 80)) ->
+    ortho DCT-II. Returns (T, n_mfcc)."""
+    w = torch.hann_window(win_length, periodic=True, dtype=torch.float64)
+    spec = torch.stft(
+        torch.from_numpy(x.astype(np.float64)), n_fft, hop_length=hop,
+        win_length=win_length, window=w, center=False, return_complex=True,
+    )
+    p = (spec.abs() ** 2).numpy().T  # (T, F)
+    mel = p @ mel_fb64
+    logmel = 10.0 * np.log10(np.maximum(mel, 1e-10))
+    logmel = np.maximum(logmel, logmel.max() - 80.0)
+    return scipy.fft.dct(logmel, type=2, norm="ortho", axis=-1)[:, :n_mfcc]
+
+
+def _outer_db_standardize(img):
+    db = 10.0 * np.log10(np.maximum(img, 1e-10))
+    db = np.maximum(db, db.max() - 80.0)
+    mu = db.mean()
+    std = db.std(ddof=1)
+    return (db - mu) / (std + 1e-5)
+
+
+def test_mfcc_branch_matches_torchaudio_definition(tiny_cfg, rng):
+    """Full MFCC channel vs an independent float64 oracle on a signal whose
+    mel dynamic range exceeds 80 dB, so the internal floor actually bites."""
+    fe = SpectralFrontend(tiny_cfg)
+    sr = tiny_cfg.sample_rate
+    t = np.arange(tiny_cfg.clip_samples) / sr
+    x = (np.sin(2 * np.pi * 1000.0 * t)).astype(np.float32)
+
+    out = np.asarray(fe(jnp.asarray(x)[None]))  # (1, M, T, 2)
+    mel_fb64 = np.asarray(fe.mel.mel_fb, np.float64)
+    mfcc = _mfcc_oracle(x, mel_fb64, fe.mel.n_fft, fe.mel.hop, fe.mel.win_length, fe.n_mfcc)
+    ref = _outer_db_standardize(mfcc)
+
+    np.testing.assert_allclose(out[0, :, :, 1], ref.T, rtol=2e-3, atol=2e-3)
+
+
+def test_mfcc_with_distinct_melkwargs(tiny_cfg, rng):
+    """When mfcc_config.melkwargs differs from melspectrogram_config the MFCC
+    branch must run its own STFT/filterbank (the reference builds two
+    independent transforms, modules/_architecture.py:30-37) — previously a
+    silent wrong-MFCC path."""
+    import copy
+
+    from audioyolo_tpu.config import Config
+
+    raw = copy.deepcopy(tiny_cfg.to_dict())
+    # same n_fft/hop/n_mels (shapes must agree for the channel concat, as in
+    # the reference) but a shorter analysis window and no filterbank norm
+    raw["mfcc_config"]["melkwargs"]["win_length"] = 100
+    raw["mfcc_config"]["melkwargs"]["norm"] = None
+    cfg = Config(raw)
+
+    fe = SpectralFrontend(cfg)
+    assert not fe.shared_mel
+    assert fe.mfcc_mel is not fe.mel
+
+    sr = cfg.sample_rate
+    t = np.arange(cfg.clip_samples) / sr
+    x = (np.sin(2 * np.pi * 700.0 * t) + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
+    out = np.asarray(fe(jnp.asarray(x)[None]))
+
+    mel_fb64 = np.asarray(fe.mfcc_mel.mel_fb, np.float64)
+    mfcc = _mfcc_oracle(x, mel_fb64, fe.mfcc_mel.n_fft, fe.mfcc_mel.hop,
+                        fe.mfcc_mel.win_length, fe.n_mfcc)
+    ref = _outer_db_standardize(mfcc)
+    np.testing.assert_allclose(out[0, :, :, 1], ref.T, rtol=2e-3, atol=5e-3)
+
+    # and it must differ from the shared-mel result
+    out_shared = np.asarray(SpectralFrontend(tiny_cfg)(jnp.asarray(x)[None]))
+    assert np.abs(out[0, :, :, 1] - out_shared[0, :, :, 1]).max() > 1e-3
