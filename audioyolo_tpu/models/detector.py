@@ -62,6 +62,10 @@ class AudioDetectionModel(nn.Module):
     num_classes: int
     config: Dict[str, Any]  # raw reference-schema config dict (static metadata)
     deploy: bool = False  # True -> RepVGG blocks are single folded convs
+    # True -> reference-exact per-branch LeakyReLU inside RepVGG blocks (the
+    # form genuine reference checkpoints were trained and evaluated in); see
+    # layers.RepVGGBlock. Incompatible with fold_repvgg numerics.
+    branch_act: bool = False
     dtype: Optional[Dtype] = None  # compute dtype for backbone+neck (e.g. bf16)
 
     @classmethod
@@ -70,10 +74,12 @@ class AudioDetectionModel(nn.Module):
         config: Union[str, Dict[str, Any], Config, None],
         num_classes: int,
         deploy: bool = False,
+        branch_act: bool = False,
         dtype: Optional[Dtype] = None,
     ) -> "AudioDetectionModel":
         cfg = load_config(config)
-        return cls(num_classes=num_classes, config=cfg.to_dict(), deploy=deploy, dtype=dtype)
+        return cls(num_classes=num_classes, config=cfg.to_dict(), deploy=deploy,
+                   branch_act=branch_act, dtype=dtype)
 
     @property
     def cfg(self) -> Config:
@@ -118,7 +124,8 @@ class AudioDetectionModel(nn.Module):
             raise ValueError(f"unknown backbone type: {backbone}")
 
         self.multiscale_module = MultiScaleFmapModule(
-            out_channels=self.out_channels, deploy=self.deploy, dtype=self.dtype
+            out_channels=self.out_channels, deploy=self.deploy,
+            branch_act=self.branch_act, dtype=self.dtype,
         )
 
     def _anchors_sec(self, key: str) -> jax.Array:

@@ -146,11 +146,22 @@ class RepVGGBlock(nn.Module):
     :func:`audioyolo_tpu.models.reparam.fold_repvgg` to convert a trained
     params tree into deploy params. Folding at weight-load time keeps inference
     a single 3x3 conv per block — one MXU pass, no branch concat traffic.
+
+    ``branch_act=True`` reproduces the reference's train-form forward exactly:
+    its conv3x3/conv1x1 branches are full ``ConvBorINorm`` modules whose
+    default LeakyReLU(0.2) fires PER BRANCH before the sum
+    (``modules/_common.py:68-73,90``) — and its CLI never folds, so genuine
+    reference checkpoints are evaluated in that form. The default (False) is
+    the standard fold-exact RepVGG formulation (sum of linear branches), which
+    ``fold_repvgg`` collapses losslessly; with ``branch_act=True`` folding is
+    NOT numerically equivalent (the reference's own ``toggle_inference_mode``
+    silently changes outputs the same way).
     """
 
     features: int
     strides: Union[int, Tuple[int, int]] = 1
     deploy: bool = False
+    branch_act: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -164,14 +175,17 @@ class RepVGGBlock(nn.Module):
 
         in_ch = x.shape[-1]
         s = _pair(self.strides)
-        y = ConvNorm(
+        y3 = ConvNorm(
             self.features, (3, 3), s, padding=1, use_bias=False, act=None,
             dtype=self.dtype, name="conv3x3",
         )(x, train)
-        y = y + ConvNorm(
+        y1 = ConvNorm(
             self.features, (1, 1), s, padding=0, use_bias=False, act=None,
             dtype=self.dtype, name="conv1x1",
         )(x, train)
+        if self.branch_act:
+            y3, y1 = leaky_relu(y3), leaky_relu(y1)
+        y = y3 + y1
         if s == (1, 1) and in_ch == self.features:
             y = y + BatchNorm(dtype=self.dtype, name="identity")(
                 x, use_running_average=not train
@@ -185,15 +199,15 @@ class RepBlock(nn.Module):
     features: int
     n: int = 2
     deploy: bool = False
+    branch_act: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        x = RepVGGBlock(self.features, deploy=self.deploy, dtype=self.dtype, name="conv1")(x, train)
+        kw = dict(deploy=self.deploy, branch_act=self.branch_act, dtype=self.dtype)
+        x = RepVGGBlock(self.features, name="conv1", **kw)(x, train)
         for i in range(self.n - 1):
-            x = RepVGGBlock(
-                self.features, deploy=self.deploy, dtype=self.dtype, name=f"block{i}"
-            )(x, train)
+            x = RepVGGBlock(self.features, name=f"block{i}", **kw)(x, train)
         return x
 
 

@@ -31,6 +31,7 @@ class MultiScaleFmapModule(nn.Module):
     out_channels: int
     c_h: int = 128
     deploy: bool = False
+    branch_act: bool = False  # reference-exact per-branch RepVGG activation
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -51,17 +52,17 @@ class MultiScaleFmapModule(nn.Module):
         kw = dict(dtype=self.dtype)
         p4 = CSPSPPFModule(self.c_h, name="cspsppf", **kw)(fmap4, train)
         p3 = BiCModule(self.c_h, name="bic3", **kw)(fmap3, fmap2, p4, train)
-        p3 = RepBlock(self.c_h, deploy=self.deploy, name="rep_block3_1", **kw)(p3, train)
+        p3 = RepBlock(self.c_h, deploy=self.deploy, branch_act=self.branch_act, name="rep_block3_1", **kw)(p3, train)
         p2 = BiCModule(self.c_h, name="bic2", **kw)(fmap2, fmap1, p3, train)
-        p2 = RepBlock(self.out_channels, deploy=self.deploy, name="rep_block2_1", **kw)(p2, train)
+        p2 = RepBlock(self.out_channels, deploy=self.deploy, branch_act=self.branch_act, name="rep_block2_1", **kw)(p2, train)
 
         n2 = p2
         d2 = ConvNorm(self.c_h, 3, strides=(1, 2), name="conv2_downsample", **kw)(n2, train)
-        n3 = RepBlock(self.out_channels, deploy=self.deploy, name="rep_block3_2", **kw)(
+        n3 = RepBlock(self.out_channels, deploy=self.deploy, branch_act=self.branch_act, name="rep_block3_2", **kw)(
             jnp.concatenate([p3, d2], axis=-1), train
         )
         d3 = ConvNorm(self.c_h, 3, strides=(1, 2), name="conv3_downsample", **kw)(n3, train)
-        n4 = RepBlock(self.out_channels, deploy=self.deploy, name="rep_block4_1", **kw)(
+        n4 = RepBlock(self.out_channels, deploy=self.deploy, branch_act=self.branch_act, name="rep_block4_1", **kw)(
             jnp.concatenate([p4, d3], axis=-1), train
         )
 

@@ -64,8 +64,16 @@ def load_model_variables(model: AudioDetectionModel, model_path: str):
 
 
 def build_inference(cfg, num_classes, model_path, iou_threshold, conf_threshold,
-                    fold: bool = True, dtype=None):
-    train_model = AudioDetectionModel.from_config(cfg, num_classes=num_classes, dtype=dtype)
+                    fold: bool = True, dtype=None, ref_exact: bool = False):
+    """``ref_exact=True`` runs imported reference checkpoints in the exact
+    form they were trained/evaluated in: per-branch RepVGG LeakyReLU and no
+    fold (the reference CLI never folds — SURVEY.md §3.3; and folding is not
+    numerics-preserving under per-branch activation)."""
+    if ref_exact:
+        fold = False
+    train_model = AudioDetectionModel.from_config(
+        cfg, num_classes=num_classes, branch_act=ref_exact, dtype=dtype
+    )
     variables = load_model_variables(train_model, model_path)
     if fold:
         variables = fold_repvgg(variables)
@@ -98,6 +106,9 @@ def main():
     parser.add_argument("--conf_threshold", type=float, default=0.2, metavar="")
     parser.add_argument("--no_fold", action="store_true",
                         help="run the unfused multi-branch RepVGG form")
+    parser.add_argument("--ref_exact", action="store_true",
+                        help="reference-exact forward for imported .pth "
+                             "checkpoints (per-branch RepVGG activation, no fold)")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute for the detector body")
     args = parser.parse_args()
@@ -115,6 +126,7 @@ def main():
     infer_fn = build_inference(
         cfg, len(idx2class), model_path, args.iou_threshold, args.conf_threshold,
         fold=not args.no_fold, dtype=jnp.bfloat16 if args.bf16 else None,
+        ref_exact=args.ref_exact,
     )
     kwargs = dict(
         input_sample_rate=cfg.sample_rate,
