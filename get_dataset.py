@@ -63,7 +63,7 @@ def glob_all_exts(root: str, exts, recursive: bool = True):
     return files
 
 
-def main():
+def main(argv=None):
     parser = argparse.ArgumentParser(description="Dataset downloader / formatter")
     parser.add_argument("--url", type=str, default="", metavar="", help="Kaggle dataset URL")
     parser.add_argument("--name", type=str, default="openbmat", metavar="")
@@ -72,9 +72,11 @@ def main():
     parser.add_argument("--num_concurrency", type=int, default=4, metavar="")
     parser.add_argument("--format_only", action="store_true")
     parser.add_argument("--seed", type=int, default=42, metavar="")
-    args = parser.parse_args()
+    parser.add_argument("--root", type=str, default="dataset", metavar="",
+                        help="parent directory for the dataset folder")
+    args = parser.parse_args(argv)
 
-    dataset_dir = os.path.join("dataset", args.name)
+    dataset_dir = os.path.join(args.root, args.name)
     supported = ["mp3", "wav"]
 
     if not args.format_only:

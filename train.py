@@ -13,7 +13,6 @@ from __future__ import annotations
 import argparse
 import glob
 import json
-import logging
 import os
 from datetime import datetime
 
@@ -24,6 +23,7 @@ from audioyolo_tpu.data import AudioConcatDataset, AudioDataset, BatchLoader
 from audioyolo_tpu.models import AudioDetectionModel
 from audioyolo_tpu.parallel import make_mesh
 from audioyolo_tpu.train import AudioDetectionLoss, TrainerPipeline, make_optimizer
+from audioyolo_tpu.utils import seed_everything, setup_logging
 
 SEED = 42
 
@@ -171,11 +171,8 @@ def run(cfg, data_parallel: bool = False, resume: bool = False):
 
 
 if __name__ == "__main__":
-    logging.basicConfig(
-        level=logging.WARNING,
-        format="%(asctime)s %(levelname)s %(filename)s: %(message)s",
-        datefmt="%Y-%m-%d %H:%M:%S",
-    )
+    setup_logging()
+    seed_everything(SEED)  # host RNG (loader shuffle); device RNG is keyed
     parser = argparse.ArgumentParser(description="Audio activity detection training")
     parser.add_argument("--config", type=str, default="config/config.yaml")
     parser.add_argument(
