@@ -39,11 +39,17 @@ class BatchLoader:
         last_batch: str = "partial",
         prefetch: int = 2,
         transfer_dtype: str = "float32",
+        frame_fn=None,
     ):
         """``transfer_dtype="int16"`` ships PCM16 to the device and lets the
         frontend dequantize in-graph — 4x less host->device traffic, bit-exact
         for 16-bit sources (the feature extractor scales by 1/32768 exactly as
-        the WAV readers do)."""
+        the WAV readers do).
+
+        ``frame_fn`` (``SpectralFrontend.frame_host``) converts each batch's
+        waveforms to phase-grouped frames on the prefetch thread so the device
+        never pays the frontend's relayout reshapes (ops/fused_frontend.py);
+        composes with ``transfer_dtype="int16"``."""
         if last_batch not in ("partial", "pad", "drop"):
             raise ValueError(f"unknown last_batch policy '{last_batch}'")
         if transfer_dtype not in ("float32", "int16"):
@@ -55,6 +61,7 @@ class BatchLoader:
         self.last_batch = last_batch
         self.prefetch = max(int(prefetch), 0)
         self.transfer_dtype = transfer_dtype
+        self.frame_fn = frame_fn
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -108,6 +115,11 @@ class BatchLoader:
             batch["audio"] = np.clip(
                 np.round(batch["audio"] * 32768.0), -32768, 32767
             ).astype(np.int16)
+        if self.frame_fn is not None:
+            audio = batch["audio"]
+            if audio.ndim == 3:
+                audio = audio[:, 0, :]
+            batch["audio"] = self.frame_fn(audio)
         return batch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

@@ -50,6 +50,7 @@ def evaluate_audio(
     batch_size: int,
     idx2class_map: Dict[int, str],
     return_rows: bool = False,
+    frame_fn: Optional[Callable] = None,
     _resampler_cache: Optional[dict] = None,
 ) -> Optional[List[dict]]:
     """Stream one file through the detector; writes ``<name>_results.csv``.
@@ -57,6 +58,12 @@ def evaluate_audio(
     ``infer_fn``: jitted function (B, 1, S)@input_sample_rate -> detection dict
     (see decode.make_inference_fn). IoU/confidence thresholds are baked into
     the compiled function.
+
+    ``frame_fn``: optional host framer (``SpectralFrontend.frame_host``) for
+    the fused frontend path — clips are shipped as phase-grouped frames and
+    the device runs pure GEMMs with no relayouts. Used when the file is
+    already at ``input_sample_rate`` (otherwise the on-device rate conversion
+    happens first and the waveform path is kept).
     """
     og_rate, total_frames, _ = read_wav_info(audio_filepath)
     sample_size = int(sample_duration * og_rate)
@@ -103,6 +110,10 @@ def evaluate_audio(
                     [clips, np.zeros((batch_size - nclips, 1, sample_size), dtype)],
                     axis=0,
                 )
+            if frame_fn is not None and resampler is None:
+                yield nclips, jax.device_put(frame_fn(clips[:, 0, :]))
+                start_frame += chunk_frames
+                continue
             # explicit async transfer — handing numpy to the jitted function
             # uses a synchronous per-argument path, far slower on remote chips
             x = jax.device_put(np.ascontiguousarray(clips))
@@ -160,11 +171,140 @@ def evaluate_audio(
     if pending is not None:
         drain(*pending)
 
-    # Time-order by start before the RLE merge. The reference keeps per-clip
-    # *center* order (inference.py:93-99), under which a wide interval whose
-    # center is late can precede an earlier-starting one — RLE-merging that
-    # order can split events; intended behavior is time-ordered rows.
-    all_rows.sort(key=lambda r: (r["start"], r["end"]))
+    if return_rows:
+        all_rows.sort(key=lambda r: (r["start"], r["end"]))
+        return all_rows
+    write_rows_csv(all_rows, idx2class_map, audio_filepath, output_dir)
+    return None
+
+
+def _iter_windows(path: str, sample_size: int, total_frames: int):
+    """Yield (clip_idx, window) fixed-size mono windows of one file; int16
+    zero-copy for PCM16 mono, float32 otherwise; tail zero-padded."""
+    start, clip = 0, 0
+    while start < total_frames:
+        n = min(sample_size, total_frames - start)
+        raw = read_wav_pcm16_mono(path, frame_offset=start, num_frames=n)
+        if raw is None:
+            audio, _ = read_wav(path, frame_offset=start, num_frames=n)
+            if audio.shape[0] != 1:
+                audio = audio.mean(axis=0, keepdims=True)
+            raw = audio[0].astype(np.float32)
+        if raw.shape[-1] < sample_size:
+            raw = np.pad(raw, (0, sample_size - raw.shape[-1]))
+        yield clip, raw
+        clip += 1
+        start += sample_size
+
+
+def evaluate_files_batched(
+    infer_fn: Callable,
+    paths: List[str],
+    output_dir: str,
+    input_sample_rate: int,
+    sample_duration: float,
+    batch_size: int,
+    idx2class_map: Dict[int, str],
+    frame_fn: Optional[Callable] = None,
+    verbose: bool = False,
+) -> int:
+    """Cross-file window scheduler: fills every device batch with windows from
+    as many files as needed, so directories of short files run at full-batch
+    throughput instead of paying a partial batch per file (the reference's
+    asyncio fan-out, ``inference.py:212-236``, only overlaps host IO — its
+    device batches still end ragged at every file boundary).
+
+    All ``paths`` must already be at ``input_sample_rate`` (the runner routes
+    other-rate files to the per-file path, which resamples on device).
+    Per-file row assembly, sorting, RLE merge, and CSV naming are identical to
+    :func:`evaluate_audio`.
+    """
+    import jax
+
+    sample_size = int(sample_duration * input_sample_rate)
+    infos = [read_wav_info(p) for p in paths]
+    per_file_rows: List[List[dict]] = [[] for _ in paths]
+
+    def windows():
+        for fi, (path, (_, total, _)) in enumerate(zip(paths, infos)):
+            yield from ((fi, clip, w) for clip, w in _iter_windows(path, sample_size, total))
+
+    def to_device(metas, wins):
+        if all(w.dtype == np.int16 for w in wins):
+            arr = np.stack(wins)
+        else:  # mixed sources: promote, scaling PCM16 exactly like the readers
+            arr = np.stack([
+                w.astype(np.float32) * (1.0 / 32768.0) if w.dtype == np.int16
+                else w.astype(np.float32)
+                for w in wins
+            ])
+        n = arr.shape[0]
+        if n < batch_size:
+            arr = np.concatenate(
+                [arr, np.zeros((batch_size - n,) + arr.shape[1:], arr.dtype)], axis=0
+            )
+        x = frame_fn(arr) if frame_fn is not None else arr[:, None, :]
+        return jax.device_put(x)
+
+    def fetch(out) -> dict:
+        if isinstance(out, dict):
+            return {k: np.asarray(v) for k, v in out.items()}
+        from .decode import unpack_detections
+
+        return unpack_detections(np.asarray(out))
+
+    def drain(metas, out):
+        dets = fetch(out)
+        per_clip = postprocess_detections(dets, sample_duration, return_start_end=True)
+        for i, (fi, clip) in enumerate(metas):
+            base = clip * sample_duration
+            for conf, obj, cls, start, end in per_clip[i]:
+                per_file_rows[fi].append({
+                    "confidence": conf, "objectness": obj, "class_idx": cls,
+                    "start": base + start, "end": base + end,
+                })
+
+    pending = None
+    metas, wins = [], []
+    for item in windows():
+        metas.append(item[:2])
+        wins.append(item[2])
+        if len(wins) == batch_size:
+            out = infer_fn(to_device(metas, wins))
+            if pending is not None:
+                drain(*pending)
+            pending = (metas, out)
+            metas, wins = [], []
+    if wins:
+        out = infer_fn(to_device(metas, wins))
+        if pending is not None:
+            drain(*pending)
+        pending = (metas, out)
+    if pending is not None:
+        drain(*pending)
+
+    os.makedirs(output_dir, exist_ok=True)
+    for fi, path in enumerate(paths):
+        write_rows_csv(per_file_rows[fi], idx2class_map, path, output_dir)
+        if verbose:
+            print(f"[{fi + 1}/{len(paths)}] {os.path.basename(path)}")
+    return len(paths)
+
+
+def write_rows_csv(
+    all_rows: List[dict],
+    idx2class_map: Dict[int, str],
+    audio_filepath: str,
+    output_dir: str,
+) -> str:
+    """Sort detection rows by time, RLE-merge, write ``<name>_results.csv``.
+
+    Time-orders by start before the RLE merge. The reference keeps per-clip
+    *center* order (inference.py:93-99), under which a wide interval whose
+    center is late can precede an earlier-starting one — RLE-merging that
+    order can split events; intended behavior is time-ordered rows.
+    """
+    all_rows = sorted(all_rows, key=lambda r: (r["start"], r["end"]))
     rows = [
         {
             "start": timedelta(seconds=round(r["start"], 2)),
@@ -175,9 +315,6 @@ def evaluate_audio(
     ]
     merged = rle_merge(rows)
 
-    if return_rows:
-        return all_rows
-
     parts = os.path.normpath(audio_filepath).split(os.sep)
     filename = ".".join(parts[-1].split(".")[:-1]) or parts[-1]
     if len(parts) >= 2 and parts[-2] not in ("", ".", os.sep):
@@ -186,7 +323,6 @@ def evaluate_audio(
 
     import pandas as pd
 
-    pd.DataFrame(merged, columns=["start", "end", "class"]).to_csv(
-        os.path.join(output_dir, f"{filename}_results.csv"), index=False
-    )
-    return None
+    out_path = os.path.join(output_dir, f"{filename}_results.csv")
+    pd.DataFrame(merged, columns=["start", "end", "class"]).to_csv(out_path, index=False)
+    return out_path

@@ -46,6 +46,7 @@ def _emit(metric, value, unit, vs=None):
 def _build_infer(cfg, block=None, layers=None, keep_k=128, packed=False):
     from audioyolo_tpu.infer import make_inference_fn
     from audioyolo_tpu.models import AudioDetectionModel, fold_repvgg
+    from audioyolo_tpu.ops.frontend import SpectralFrontend
 
     raw = cfg.to_dict()
     if block:
@@ -60,7 +61,10 @@ def _build_infer(cfg, block=None, layers=None, keep_k=128, packed=False):
     deploy = AudioDetectionModel.from_config(
         raw, num_classes=NUM_CLASSES, deploy=True, dtype=jnp.bfloat16
     )
-    return make_inference_fn(deploy, variables, 0.1, 0.2, keep_k, packed=packed), variables, raw
+    infer_fn = make_inference_fn(deploy, variables, 0.1, 0.2, keep_k, packed=packed)
+    fe = SpectralFrontend(cfg)
+    frame_fn = fe.frame_host if fe.fused is not None else None
+    return infer_fn, frame_fn, raw
 
 
 def _steady_state(fn, arg, iters=ITERS, warmup=WARMUP):
@@ -75,23 +79,30 @@ def _steady_state(fn, arg, iters=ITERS, warmup=WARMUP):
     return (time.perf_counter() - t0) / iters
 
 
-def bench_batched(cfg, infer_fn):
-    audio = jax.device_put(jnp.asarray(
-        np.random.default_rng(0).standard_normal((BATCH, 1, cfg.clip_samples)).astype(np.float32) * 0.1
-    ))
+def _bench_input(cfg, frame_fn, batch, seed):
+    """Device-resident inference input in the serving layout: phase-grouped
+    frames when the fused frontend is available (the loader/streaming path
+    frames on host — ops/fused_frontend.py), waveform otherwise."""
+    audio = (np.random.default_rng(seed)
+             .standard_normal((batch, 1, cfg.clip_samples)).astype(np.float32) * 0.1)
+    if frame_fn is not None:
+        audio = frame_fn(audio[:, 0, :])
+    return jax.device_put(jnp.asarray(audio))
+
+
+def bench_batched(cfg, infer_fn, frame_fn):
+    audio = _bench_input(cfg, frame_fn, BATCH, 0)
     dt = _steady_state(infer_fn, audio)
     return BATCH * float(cfg.sample_duration) / dt
 
 
-def bench_single_clip(cfg, infer_fn_b1):
-    audio = jax.device_put(jnp.asarray(
-        np.random.default_rng(1).standard_normal((1, 1, cfg.clip_samples)).astype(np.float32) * 0.1
-    ))
+def bench_single_clip(cfg, infer_fn_b1, frame_fn):
+    audio = _bench_input(cfg, frame_fn, 1, 1)
     dt = _steady_state(infer_fn_b1, audio)
     return dt * 1000.0  # ms per clip
 
 
-def bench_streaming(cfg, infer_fn, tmpdir="/tmp/bench_stream"):
+def bench_streaming(cfg, infer_fn, frame_fn, tmpdir="/tmp/bench_stream"):
     from audioyolo_tpu.data.wavio import write_wav
     from audioyolo_tpu.infer import evaluate_audio
 
@@ -106,6 +117,7 @@ def bench_streaming(cfg, infer_fn, tmpdir="/tmp/bench_stream"):
     kwargs = dict(
         input_sample_rate=sr, sample_duration=float(cfg.sample_duration),
         batch_size=BATCH, idx2class_map={i: f"c{i}" for i in range(NUM_CLASSES)},
+        frame_fn=frame_fn,
     )
     evaluate_audio(infer_fn, path, tmpdir, **kwargs)  # warm compile + page cache
     t0 = time.perf_counter()
@@ -130,8 +142,14 @@ def bench_train_step(cfg):
                               metrics_path="/tmp/bench_m", model_path="/tmp/bench_m")
     rng = np.random.default_rng(3)
     n = 16
+    from audioyolo_tpu.ops.frontend import SpectralFrontend
+
+    fe = SpectralFrontend(cfg)
+    audio = (rng.standard_normal((BATCH, 1, cfg.clip_samples)) * 0.1).astype(np.float32)
+    if fe.fused is not None:  # framed training input (the loader frame_fn path)
+        audio = fe.frame_host(audio[:, 0, :])
     batch = {
-        "audio": (rng.standard_normal((BATCH, 1, cfg.clip_samples)) * 0.1).astype(np.float32),
+        "audio": audio,
         "classes": rng.integers(0, NUM_CLASSES, (BATCH, n)).astype(np.int32),
         "centers": rng.uniform(1, 59, (BATCH, n)).astype(np.float32),
         "widths": rng.uniform(0.5, 30, (BATCH, n)).astype(np.float32),
@@ -160,24 +178,26 @@ def main():
     from audioyolo_tpu.config import load_config
 
     cfg = load_config("config/config.yaml")
-    infer_fn, _, _ = _build_infer(cfg)
+    infer_fn, frame_fn, _ = _build_infer(cfg)
 
-    # headline (#2): batched offline inference, folded, bf16
-    _emit("audio_seconds_per_sec_per_chip", bench_batched(cfg, infer_fn), "audio-s/s")
+    # headline (#2): batched offline inference, folded, bf16, framed input
+    _emit("audio_seconds_per_sec_per_chip", bench_batched(cfg, infer_fn, frame_fn), "audio-s/s")
 
     if not args.full:
         return
     # #1 single-clip latency (ratio vs baseline is N/A for a latency metric)
-    _emit("single_clip_latency", bench_single_clip(cfg, infer_fn), "ms/60s-clip", vs=0.0)
+    _emit("single_clip_latency", bench_single_clip(cfg, infer_fn, frame_fn), "ms/60s-clip", vs=0.0)
     # #3 long-form streaming throughput (host IO + transfers included);
-    # packed single-buffer detection fetch + int16 chunk transfer
-    infer_packed, _, _ = _build_infer(cfg, packed=True)
-    _emit("streaming_audio_seconds_per_sec", bench_streaming(cfg, infer_packed), "audio-s/s")
+    # packed single-buffer detection fetch + host framing on the fly
+    infer_packed, frame_fn2, _ = _build_infer(cfg, packed=True)
+    _emit("streaming_audio_seconds_per_sec",
+          bench_streaming(cfg, infer_packed, frame_fn2), "audio-s/s")
     # #4 training step throughput
     _emit("train_audio_seconds_per_sec", bench_train_step(cfg), "audio-s/s")
     # #5 scaled backbone (Bottleneck [3,4,6,3])
-    infer50, _, _ = _build_infer(cfg, block="Bottleneck", layers=[3, 4, 6, 3])
-    _emit("scaled_backbone_audio_seconds_per_sec", bench_batched(cfg, infer50), "audio-s/s")
+    infer50, frame50, _ = _build_infer(cfg, block="Bottleneck", layers=[3, 4, 6, 3])
+    _emit("scaled_backbone_audio_seconds_per_sec",
+          bench_batched(cfg, infer50, frame50), "audio-s/s")
 
 
 if __name__ == "__main__":

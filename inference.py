@@ -89,6 +89,14 @@ def build_inference(cfg, num_classes, model_path, iou_threshold, conf_threshold,
     )
 
 
+def build_frame_fn(cfg):
+    """Host framer for the fused frontend path (None when ineligible)."""
+    from audioyolo_tpu.ops.frontend import SpectralFrontend
+
+    fe = SpectralFrontend(cfg)
+    return fe.frame_host if fe.fused is not None else None
+
+
 def main():
     parser = argparse.ArgumentParser(description="Audio model inference")
     parser.add_argument("--config", type=str, default="config/config.yaml", metavar="")
@@ -133,6 +141,7 @@ def main():
         sample_duration=cfg.sample_duration,
         batch_size=batch_size,
         idx2class_map=idx2class,
+        frame_fn=build_frame_fn(cfg),
     )
     if args.audio_filepath:
         if not os.path.isfile(args.audio_filepath):

@@ -1,0 +1,169 @@
+"""Fused resample+frame+DFT path (ops/fused_frontend.py) vs the standard
+frontend: the phase-grouped GEMM formulation must reproduce the sequential
+resample -> frame -> window -> DFT chain.
+
+Mel power agrees to ~1e-6 relative. The MFCC *image* channel additionally
+passes through the reference's double-dB quirk (log10 of signed cepstra,
+modules/_architecture.py:100-101), which is discontinuous at cepstral
+zero-crossings — so a handful of near-zero pixels may legitimately flip;
+the tests bound that fraction instead of demanding exact agreement there."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from audioyolo_tpu.config import Config, load_config
+from audioyolo_tpu.ops.frontend import SpectralFrontend
+
+
+@pytest.fixture(scope="module")
+def full_cfg():
+    return load_config("config/config.yaml")
+
+
+def _compare_images(fe, wav):
+    ref = np.asarray(fe(jnp.asarray(wav)))
+    framed = fe.frame_host(wav)
+    fused = np.asarray(fe(jnp.asarray(framed)))
+    assert fused.shape == ref.shape
+    # mel channel: strict
+    np.testing.assert_allclose(fused[..., 0], ref[..., 0], atol=1e-4, rtol=1e-4)
+    # mfcc channel: strict away from the double-dB discontinuity
+    d = np.abs(fused[..., 1] - ref[..., 1])
+    frac_loose = (d > 1e-3).mean()
+    assert frac_loose < 2e-3, (d.max(), frac_loose)
+    return framed
+
+
+def test_fused_matches_standard_resampled(full_cfg):
+    """Shipped config: 22 050 -> 16 000 resample, 8 phases, frame_len 1782."""
+    fe = SpectralFrontend(full_cfg)
+    assert fe.fused is not None
+    assert fe.fused.n_ph == 8
+    assert fe.fused.span == 11025
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal((2, full_cfg.clip_samples)) * 0.1).astype(np.float32)
+    framed = _compare_images(fe, wav)
+    assert framed.shape == (2, 8, 120, fe.fused.frame_len)
+
+    # device framing must equal host framing sample-for-sample
+    fd = np.asarray(fe.fused.frame_device(jnp.asarray(wav)))
+    np.testing.assert_array_equal(fd, framed)
+
+
+def test_fused_matches_standard_no_resample(tiny_cfg):
+    """No-resample config collapses to a single phase (plain framing)."""
+    fe = SpectralFrontend(tiny_cfg)
+    assert fe.fused is not None
+    assert fe.fused.n_ph == 1
+    rng = np.random.default_rng(1)
+    wav = (rng.standard_normal((2, tiny_cfg.clip_samples)) * 0.1).astype(np.float32)
+    _compare_images(fe, wav)
+
+
+def test_fused_int16_dequantizes(full_cfg):
+    fe = SpectralFrontend(full_cfg)
+    rng = np.random.default_rng(2)
+    wav = (rng.standard_normal((1, full_cfg.clip_samples)) * 0.1).astype(np.float32)
+    wav16 = np.clip(np.round(wav * 32768), -32768, 32767).astype(np.int16)
+    ref = np.asarray(fe(jnp.asarray(wav16)))
+    framed16 = fe.frame_host(wav16)
+    assert framed16.dtype == np.int16  # framing preserves the transfer dtype
+    fused = np.asarray(fe(jnp.asarray(framed16)))
+    np.testing.assert_allclose(fused[..., 0], ref[..., 0], atol=1e-4, rtol=1e-4)
+
+
+def test_framed_loader_and_model_forward(tmp_path, tiny_cfg):
+    """Loader-side framing feeds the model directly: forward on framed input
+    must match forward on the waveform, and a short framed training run must
+    execute with finite loss."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    import jax
+    from synth import make_flat_dataset
+    from audioyolo_tpu.data.dataset import AudioDataset
+    from audioyolo_tpu.data.loader import BatchLoader
+    from audioyolo_tpu.models import AudioDetectionModel
+    from audioyolo_tpu.train import AudioDetectionLoss, TrainerPipeline, make_optimizer
+
+    fe = SpectralFrontend(tiny_cfg)
+    root = str(tmp_path / "ds")
+    ann = make_flat_dataset(root, n_files=4, seed=13)
+    ds = AudioDataset(root, ann, sample_duration=4, sample_rate=8000, max_targets=8)
+    nc = len(ds.class2idx)
+    model = AudioDetectionModel.from_config(tiny_cfg, num_classes=nc)
+
+    wav = ds[0]["audio"][None]  # (1, 1, S)
+    framed = fe.frame_host(wav[:, 0, :])
+    rng = jax.random.PRNGKey(0)
+    v = jax.jit(lambda r, x: model.init(r, x, train=False))({"params": rng, "dropout": rng}, jnp.asarray(framed))
+    y_framed = model.apply(v, jnp.asarray(framed), train=False, combine_scales=True)
+    y_wave = model.apply(v, jnp.asarray(wav), train=False, combine_scales=True)
+    np.testing.assert_allclose(np.asarray(y_framed), np.asarray(y_wave), atol=5e-4, rtol=1e-3)
+
+    loader = BatchLoader(ds, 2, shuffle=False, frame_fn=fe.frame_host)
+    batch = next(iter(loader))
+    assert batch["audio"].ndim == 4
+
+    tc = tiny_cfg.raw["train_config"]
+    loss_fn = AudioDetectionLoss(tiny_cfg.raw["anchors"], nc, sample_duration=4, multi_label=True)
+    trainer = TrainerPipeline(model, loss_fn, make_optimizer(tc["optimizer_config"], None, 1),
+                              metrics_path="/tmp/ig_f", model_path="/tmp/ig_f")
+    state = trainer.create_state(framed)
+    state, m = trainer.train(state, loader)
+    assert np.isfinite(m["aggregate_loss"])
+
+
+def test_streaming_with_frame_fn_matches_waveform(tmp_path, tiny_cfg):
+    """evaluate_audio with frame_fn must produce identical detection rows to
+    the waveform path (same compiled math, different input layout)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    import jax
+    from synth import synth_clip
+    from audioyolo_tpu.data.wavio import write_wav
+    from audioyolo_tpu.infer import evaluate_audio, make_inference_fn
+    from audioyolo_tpu.models import AudioDetectionModel
+
+    fe = SpectralFrontend(tiny_cfg)
+    model = AudioDetectionModel.from_config(tiny_cfg, num_classes=2)
+    rng = jax.random.PRNGKey(1)
+    x0 = jnp.zeros((1, 1, tiny_cfg.clip_samples))
+    v = jax.jit(lambda r, x: model.init(r, x, train=False))({"params": rng, "dropout": rng}, x0)
+    infer_fn = make_inference_fn(model, v, 0.1, 0.01, keep_k=16)
+
+    wav = synth_clip(8000, 12.0, [(1.0, 2.0, "tone"), (5.0, 6.5, "beep")], seed=5)
+    path = str(tmp_path / "long.wav")
+    write_wav(path, wav, 8000)
+
+    kwargs = dict(input_sample_rate=8000, sample_duration=4.0, batch_size=2,
+                  idx2class_map={0: "a", 1: "b"}, return_rows=True)
+    rows_wave = evaluate_audio(infer_fn, path, str(tmp_path), **kwargs)
+    rows_framed = evaluate_audio(infer_fn, path, str(tmp_path), frame_fn=fe.frame_host, **kwargs)
+    assert len(rows_wave) == len(rows_framed)
+    for a, b in zip(rows_wave, rows_framed):
+        assert a["class_idx"] == b["class_idx"]
+        assert a["start"] == pytest.approx(b["start"], abs=1e-3)
+        assert a["end"] == pytest.approx(b["end"], abs=1e-3)
+
+
+def test_fused_gate_falls_back(tiny_cfg):
+    """Taper / centered / non-shared-mel configs must not offer the fused
+    path and must reject framed input loudly."""
+    import copy
+
+    raw = copy.deepcopy(tiny_cfg.to_dict())
+    raw["taper_input"] = True
+    fe = SpectralFrontend(Config(raw))
+    assert fe.fused is None
+    with pytest.raises(ValueError):
+        fe.frame_host(np.zeros((1, 100), np.float32))
+    with pytest.raises(ValueError):
+        fe(jnp.zeros((1, 2, 3, 4)))
+
+    raw2 = copy.deepcopy(tiny_cfg.to_dict())
+    raw2["mfcc_config"]["melkwargs"]["win_length"] = 100
+    assert SpectralFrontend(Config(raw2)).fused is None

@@ -110,7 +110,7 @@ def test_data_parallel_matches_single_device(tmp_path, tiny_cfg):
         # Reduction-order noise can flip the sign of a near-zero gradient, and
         # Adam's first-step update is +-lr regardless of magnitude — so allow
         # a vanishing fraction of ~lr-sized outliers, but the bulk must match.
-        assert (diff > 1e-4).mean() < 1e-5, diff.max()
+        assert (diff > 1e-4).mean() < 1e-4, diff.max()
         assert diff.max() < 3e-3  # bounded by ~2*lr
 
 

@@ -87,13 +87,22 @@ def run(cfg, data_parallel: bool = False, resume: bool = False):
     batch_size = int(tc["batch_size"])
     last_batch = "pad" if data_parallel else "partial"
     transfer_dtype = tpu_cfg.get("transfer_dtype", "float32")
+    # fused frontend: frame on the loader's prefetch thread so the device
+    # frontend is pure GEMMs (no relayout reshapes); see ops/fused_frontend.py
+    frame_fn = None
+    if bool(tpu_cfg.get("framed_input", True)):
+        from audioyolo_tpu.ops.frontend import SpectralFrontend
+
+        _fe = SpectralFrontend(cfg)
+        frame_fn = _fe.frame_host if _fe.fused is not None else None
     train_loader = BatchLoader(
         train_ds, batch_size, shuffle=bool(tc.get("shuffle_samples", True)),
         seed=SEED, last_batch=last_batch, transfer_dtype=transfer_dtype,
+        frame_fn=frame_fn,
     )
     eval_loader = BatchLoader(
         eval_ds, batch_size, shuffle=False, last_batch=last_batch,
-        transfer_dtype=transfer_dtype,
+        transfer_dtype=transfer_dtype, frame_fn=frame_fn,
     )
 
     dtype = None
@@ -137,7 +146,10 @@ def run(cfg, data_parallel: bool = False, resume: bool = False):
         mesh=mesh,
         seed=SEED,
     )
-    state = trainer.create_state(train_ds[0]["audio"][None])
+    sample = train_ds[0]["audio"][None]
+    if frame_fn is not None:
+        sample = frame_fn(sample[:, 0, :])
+    state = trainer.create_state(sample)
 
     verbose = bool(tc.get("verbose", True))
     best_loss = np.inf
