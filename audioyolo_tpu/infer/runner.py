@@ -1,9 +1,16 @@
 """Directory fan-out for batch inference (reference ``inference.py:212-236``).
 
-Files are processed with a bounded thread pool: the TPU serializes compute
-through the single jitted function, while worker threads overlap the host-side
-WAV decode/resample of the next files with device execution — the same
-IO-level concurrency the reference gets from its asyncio executor fan-out.
+Two strategies, composed automatically by :func:`evaluate_dir`:
+
+- **Cross-file window batching** (default for files already at the model's
+  input rate): `evaluate_files_batched` fills every device batch with windows
+  drawn from as many files as needed, so a directory of short files runs at
+  full-batch throughput. The reference's asyncio fan-out only overlaps host
+  IO — its device batches still end ragged at every file boundary.
+- **Threaded per-file streaming** (files at other sample rates, which need
+  the on-device rate conversion): a bounded thread pool overlaps the host-side
+  WAV decode of the next files with device execution, the same IO-level
+  concurrency the reference gets from its asyncio executor fan-out.
 """
 
 from __future__ import annotations
@@ -13,7 +20,8 @@ import os
 from concurrent.futures import ThreadPoolExecutor, as_completed
 from typing import Callable, Dict
 
-from .streaming import evaluate_audio
+from ..data.wavio import read_wav_info
+from .streaming import evaluate_audio, evaluate_files_batched
 
 
 def evaluate_dir(
@@ -23,6 +31,7 @@ def evaluate_dir(
     extension: str = "wav",
     num_concurrency: int = 10,
     verbose: bool = True,
+    batch_windows: bool = True,
     **kwargs,
 ) -> int:
     paths = sorted(glob.glob(os.path.join(audio_dir, f"*.{extension}")))
@@ -30,6 +39,26 @@ def evaluate_dir(
     resampler_cache: Dict = {}
 
     done = 0
+    if batch_windows and "input_sample_rate" in kwargs:
+        native_rate = [
+            p for p in paths if read_wav_info(p)[0] == kwargs["input_sample_rate"]
+        ]
+        if len(native_rate) > 1:
+            done += evaluate_files_batched(
+                infer_fn,
+                native_rate,
+                output_dir,
+                input_sample_rate=kwargs["input_sample_rate"],
+                sample_duration=kwargs["sample_duration"],
+                batch_size=kwargs["batch_size"],
+                idx2class_map=kwargs["idx2class_map"],
+                frame_fn=kwargs.get("frame_fn"),
+                verbose=verbose,
+            )
+            paths = [p for p in paths if p not in set(native_rate)]
+
+    if not paths:
+        return done
     with ThreadPoolExecutor(max_workers=max(1, num_concurrency)) as pool:
         futures = {
             pool.submit(

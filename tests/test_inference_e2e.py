@@ -120,6 +120,64 @@ def test_evaluate_dir_fanout(trained, tmp_path):
     assert len(found) == 3
 
 
+def test_evaluate_dir_batched_matches_perfile(trained, tmp_path):
+    """The cross-file window scheduler must write byte-identical CSVs to the
+    per-file streaming path (same compiled math, batches packed across
+    files)."""
+    cfg, model, variables, class2idx = trained
+    idx2class = {v: k for k, v in class2idx.items()}
+    adir = tmp_path / "clips"
+    adir.mkdir()
+    # uneven durations so file boundaries land mid-batch: 6s, 10s, 7s -> 2+3+2
+    # windows of 4 s = 7 windows over batch_size=2 -> 4 batches, 3 of them
+    # spanning or splitting files
+    for i, dur in enumerate([6.0, 10.0, 7.0]):
+        x = synth_clip(8000, dur, [(1.0, 2.0 + i * 0.7, "tone"), (3.5, min(dur - 0.5, 5.0), "beep")], seed=10 + i)
+        write_wav(str(adir / f"f{i}.wav"), x, 8000)
+    folded = fold_repvgg(variables)
+    deploy = AudioDetectionModel.from_config(cfg, num_classes=len(class2idx), deploy=True)
+    infer_fn = make_inference_fn(deploy, folded, 0.1, 0.05, keep_k=32)
+    kwargs = dict(input_sample_rate=8000, sample_duration=4.0, batch_size=2,
+                  idx2class_map=idx2class, verbose=False)
+
+    out_b = str(tmp_path / "out_batched")
+    out_p = str(tmp_path / "out_perfile")
+    nb = evaluate_dir(infer_fn, str(adir), out_b, batch_windows=True, **kwargs)
+    np_ = evaluate_dir(infer_fn, str(adir), out_p, batch_windows=False, **kwargs)
+    assert nb == np_ == 3
+    for i in range(3):
+        fb = os.path.join(out_b, "clips", f"f{i}_results.csv")
+        fp = os.path.join(out_p, "clips", f"f{i}_results.csv")
+        with open(fb) as a, open(fp) as b:
+            assert a.read() == b.read(), f"f{i} CSVs differ"
+
+
+def test_evaluate_dir_mixed_rates(trained, tmp_path):
+    """Files not at the model input rate must route through the per-file
+    path (on-device resample) while native-rate files batch together."""
+    cfg, model, variables, class2idx = trained
+    idx2class = {v: k for k, v in class2idx.items()}
+    adir = tmp_path / "clips"
+    adir.mkdir()
+    for i in range(2):
+        write_wav(str(adir / f"n{i}.wav"),
+                  synth_clip(8000, 6.0, [(1.0, 2.0, "tone")], seed=i), 8000)
+    write_wav(str(adir / "other.wav"),
+              synth_clip(16000, 6.0, [(1.0, 2.0, "tone")], seed=7), 16000)
+    folded = fold_repvgg(variables)
+    deploy = AudioDetectionModel.from_config(cfg, num_classes=len(class2idx), deploy=True)
+    infer_fn = make_inference_fn(deploy, folded, 0.1, 0.05, keep_k=32)
+    out = str(tmp_path / "out")
+    n = evaluate_dir(
+        infer_fn, str(adir), out, verbose=False,
+        input_sample_rate=8000, sample_duration=4.0, batch_size=2,
+        idx2class_map=idx2class,
+    )
+    assert n == 3
+    found = [f for _, _, fs in os.walk(out) for f in fs if f.endswith(".csv")]
+    assert len(found) == 3
+
+
 def test_rle_merge_semantics():
     rows = [
         {"start": 0, "end": 1, "class": "a"},
