@@ -214,6 +214,32 @@ class AudioDataset:
         )
         return out[:, None, :]
 
+    def load_audio_batch_framed(
+        self, indices, framer, n_threads: int = 4
+    ) -> Optional[np.ndarray]:
+        """Native fast path for the fused frontend: decode a whole batch of
+        spans straight into the phase-grouped int16 frame layout
+        ``(B, n_ph, n_groups, frame_len)`` — the device-ready input, skipping
+        the float decode, numpy restack, quantize, and host framing passes
+        entirely. ``framer`` is a ``FusedFrameDFT``. Returns None when the
+        native library lacks the framed entry point."""
+        from . import native
+
+        if not native.framed_available():
+            return None
+        spans = [self.audio_span(int(i)) for i in indices]
+        try:
+            return native.load_batch_framed_i16(
+                [s[0] for s in spans],
+                [s[1] for s in spans],
+                [s[2] for s in spans],
+                clip_len=self.clip_samples,
+                framer=framer,
+                n_threads=n_threads,
+            )
+        except Exception:
+            return None
+
     # ---- utilities -----------------------------------------------------
 
     def get_class_weights(self) -> np.ndarray:

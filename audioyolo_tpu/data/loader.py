@@ -40,6 +40,7 @@ class BatchLoader:
         prefetch: int = 2,
         transfer_dtype: str = "float32",
         frame_fn=None,
+        framer=None,
     ):
         """``transfer_dtype="int16"`` ships PCM16 to the device and lets the
         frontend dequantize in-graph — 4x less host->device traffic, bit-exact
@@ -49,7 +50,14 @@ class BatchLoader:
         ``frame_fn`` (``SpectralFrontend.frame_host``) converts each batch's
         waveforms to phase-grouped frames on the prefetch thread so the device
         never pays the frontend's relayout reshapes (ops/fused_frontend.py);
-        composes with ``transfer_dtype="int16"``."""
+        composes with ``transfer_dtype="int16"``.
+
+        ``framer`` (a ``FusedFrameDFT``, e.g. ``SpectralFrontend.fused``)
+        additionally unlocks the native C++ framed decode: with
+        ``transfer_dtype="int16"`` the batch is read from disk straight into
+        the phase-grouped int16 frame layout in one multithreaded C call (no
+        float round trip, no numpy restack, no quantize pass). Implies
+        ``frame_fn=framer.frame_host`` for the fallback paths."""
         if last_batch not in ("partial", "pad", "drop"):
             raise ValueError(f"unknown last_batch policy '{last_batch}'")
         if transfer_dtype not in ("float32", "int16"):
@@ -61,6 +69,9 @@ class BatchLoader:
         self.last_batch = last_batch
         self.prefetch = max(int(prefetch), 0)
         self.transfer_dtype = transfer_dtype
+        self.framer = framer
+        if frame_fn is None and framer is not None:
+            frame_fn = framer.frame_host
         self.frame_fn = frame_fn
         self._epoch = 0
 
@@ -69,6 +80,32 @@ class BatchLoader:
         if self.last_batch == "drop":
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
+
+    def _targets_batch(self, indices) -> Dict[str, np.ndarray]:
+        ds = self.dataset
+        tgt_items = []
+        for i in indices:
+            _, _, count = ds.audio_span(int(i))
+            tgt_items.append(ds.targets(int(i), min(count, ds.clip_samples)))
+        return {k: np.stack([t[k] for t in tgt_items]) for k in tgt_items[0]}
+
+    def _framed_batch(self, indices) -> "Dict[str, np.ndarray] | None":
+        """Native C++ decode straight into phase-grouped int16 frames — the
+        device-ready layout; skips float decode, restack, quantize, and host
+        framing (see data/native.py::load_batch_framed_i16)."""
+        ds = self.dataset
+        if (
+            self.framer is None
+            or self.transfer_dtype != "int16"
+            or not (hasattr(ds, "load_audio_batch_framed") and hasattr(ds, "targets"))
+        ):
+            return None  # concat datasets span files across children; use slow path
+        audio = ds.load_audio_batch_framed(indices, self.framer)
+        if audio is None:
+            return None
+        batch = self._targets_batch(indices)
+        batch["audio"] = audio
+        return batch
 
     def _fast_batch(self, indices) -> "Dict[str, np.ndarray] | None":
         """Native C++ batch decode when available (see data/native.py)."""
@@ -81,11 +118,7 @@ class BatchLoader:
             return None
         if audio is None:
             return None
-        tgt_items = []
-        for i in indices:
-            _, _, count = ds.audio_span(int(i))
-            tgt_items.append(ds.targets(int(i), min(count, ds.clip_samples)))
-        batch = {k: np.stack([t[k] for t in tgt_items]) for k in tgt_items[0]}
+        batch = self._targets_batch(indices)
         batch["audio"] = audio
         return batch
 
@@ -96,10 +129,21 @@ class BatchLoader:
         return idx
 
     def _make_batch(self, indices) -> Dict[str, np.ndarray]:
-        batch = self._fast_batch(indices)
+        batch = self._framed_batch(indices)
         if batch is None:
-            items = [self.dataset[int(i)] for i in indices]
-            batch = AudioDataset.collate(items)
+            batch = self._fast_batch(indices)
+            if batch is None:
+                items = [self.dataset[int(i)] for i in indices]
+                batch = AudioDataset.collate(items)
+            if self.transfer_dtype == "int16":
+                batch["audio"] = np.clip(
+                    np.round(batch["audio"] * 32768.0), -32768, 32767
+                ).astype(np.int16)
+            if self.frame_fn is not None:
+                audio = batch["audio"]
+                if audio.ndim == 3:
+                    audio = audio[:, 0, :]
+                batch["audio"] = self.frame_fn(audio)
         n = len(indices)
         if n < self.batch_size and self.last_batch == "pad":
             reps = self.batch_size - n
@@ -111,15 +155,6 @@ class BatchLoader:
             batch["clip_valid"] = np.arange(self.batch_size) < n
         elif self.last_batch == "pad":
             batch["clip_valid"] = np.ones(self.batch_size, bool)
-        if self.transfer_dtype == "int16":
-            batch["audio"] = np.clip(
-                np.round(batch["audio"] * 32768.0), -32768, 32767
-            ).astype(np.int16)
-        if self.frame_fn is not None:
-            audio = batch["audio"]
-            if audio.ndim == 3:
-                audio = audio[:, 0, :]
-            batch["audio"] = self.frame_fn(audio)
         return batch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

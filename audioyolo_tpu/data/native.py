@@ -69,6 +69,23 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
         ]
+        if hasattr(lib, "ayt_frame_i16"):
+            lib.ayt_frame_i16.restype = ctypes.c_int
+            lib.ayt_frame_i16.argtypes = [
+                ctypes.POINTER(ctypes.c_int16), ctypes.c_int32, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int16),
+                ctypes.c_int32, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int32,
+            ]
+        if hasattr(lib, "ayt_load_batch_framed_i16"):
+            lib.ayt_load_batch_framed_i16.restype = ctypes.c_int
+            lib.ayt_load_batch_framed_i16.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int32,
+            ]
         _lib = lib
         return _lib
 
@@ -133,4 +150,75 @@ def load_batch(
     )
     if rc != 0:
         raise IOError(f"native batch load failed (code {rc})")
+    return out
+
+
+def framed_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "ayt_load_batch_framed_i16")
+
+
+def frame_i16(clips: np.ndarray, framer, n_threads: int = 2) -> np.ndarray:
+    """Phase-group an in-memory int16 batch ``(B, clip_len)`` into
+    ``(B, n_ph, n_groups, frame_len)`` with the C memcpy loop (the streaming
+    evaluator's framing step). ``framer`` is a FusedFrameDFT."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "ayt_frame_i16"):
+        raise RuntimeError("native framing unavailable")
+    assert clips.ndim == 2 and clips.dtype == np.int16
+    clips = np.ascontiguousarray(clips)
+    n, clip_len = clips.shape
+    out = np.empty((n, framer.n_ph, framer.n_groups, framer.frame_len), np.int16)
+    phase_offs = np.asarray(framer.offsets, np.int64)
+    rc = lib.ayt_frame_i16(
+        clips.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n, clip_len,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        framer.n_ph, framer.n_groups, framer.frame_len, framer.span,
+        phase_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        framer.width, n_threads,
+    )
+    if rc != 0:
+        raise IOError(f"native framing failed (code {rc})")
+    return out
+
+
+def load_batch_framed_i16(
+    paths: Sequence[str],
+    frame_offsets: Sequence[int],
+    num_frames: Sequence[int],
+    clip_len: int,
+    framer,
+    n_threads: int = 4,
+    out: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Decode N spans straight into the fused frontend's phase-grouped int16
+    frame layout ``(N, n_ph, n_groups, frame_len)`` — the device-ready
+    training/inference input (see ops/fused_frontend.py::FusedFrameDFT).
+    ``framer`` is a FusedFrameDFT. Mono PCM16 files are read as raw int16
+    with zero decode work; other formats quantize exactly like the numpy
+    loader path."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "ayt_load_batch_framed_i16"):
+        raise RuntimeError("native framed loader unavailable")
+    n = len(paths)
+    shape = (n, framer.n_ph, framer.n_groups, framer.frame_len)
+    if out is None:
+        out = np.empty(shape, np.int16)
+    assert out.shape == shape and out.dtype == np.int16 and out.flags.c_contiguous
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    offs = np.asarray(frame_offsets, np.int64)
+    cnts = np.minimum(np.asarray(num_frames, np.int64), clip_len)
+    phase_offs = np.asarray(framer.offsets, np.int64)
+    rc = lib.ayt_load_batch_framed_i16(
+        c_paths, n,
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cnts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        clip_len,
+        framer.n_ph, framer.n_groups, framer.frame_len, framer.span,
+        phase_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        framer.width, n_threads,
+    )
+    if rc != 0:
+        raise IOError(f"native framed batch load failed (code {rc})")
     return out

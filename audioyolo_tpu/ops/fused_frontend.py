@@ -139,8 +139,14 @@ class FusedFrameDFT:
         never overlap (frame_len <= span), so each phase is a contiguous
         reshape view + tail slice; the single copy happens in ``np.stack`` —
         ~60 ms for a 32-clip fp32 batch on one core, overlapped by the
-        loader's prefetch thread.
+        loader's prefetch thread. int16 batches take the native C memcpy loop
+        when the library is built (data/native.py::frame_i16).
         """
+        if x.ndim == 2 and x.dtype == np.int16:
+            from ..data import native
+
+            if native._load() is not None and hasattr(native._load(), "ayt_frame_i16"):
+                return native.frame_i16(x, self)
         lead = x.shape[:-1]
         L = x.shape[-1]
         # per-phase reshape needs off_r + n_groups*span samples

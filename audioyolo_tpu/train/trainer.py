@@ -249,10 +249,44 @@ class TrainerPipeline:
 
     # ---- checkpointing -------------------------------------------------
 
-    @staticmethod
-    def _atomic_write(path: str, payload) -> None:
+    _packer_cache: Dict[Any, Any] = {}
+
+    @classmethod
+    def fetch_tree(cls, tree):
+        """Device->host fetch of a whole pytree in O(dtypes) round trips.
+
+        ``np.asarray`` per leaf costs a full network round trip per tensor on
+        a remote-tunnelled device (~0.4 s each here — hundreds of leaves in a
+        checkpoint made every save cost tens of seconds). Instead, concatenate
+        all same-dtype leaves into one device buffer inside one compiled
+        program, fetch that, and split on host."""
+        leaves, treedef = jax.tree.flatten(tree)
+        out: List[Any] = [None] * len(leaves)
+        groups: Dict[Any, List[int]] = {}
+        for i, leaf in enumerate(leaves):
+            if isinstance(leaf, jax.Array):
+                groups.setdefault(jnp.asarray(leaf).dtype, []).append(i)
+            else:
+                out[i] = leaf
+        for dt, idxs in groups.items():
+            shapes = tuple(leaves[i].shape for i in idxs)
+            key = (dt, shapes)
+            packer = cls._packer_cache.get(key)
+            if packer is None:
+                packer = jax.jit(lambda *ls: jnp.concatenate([l.ravel() for l in ls]))
+                cls._packer_cache[key] = packer
+            flat = np.asarray(packer(*[leaves[i] for i in idxs]))
+            pos = 0
+            for i, shape in zip(idxs, shapes):
+                n = int(np.prod(shape, dtype=np.int64))
+                out[i] = flat[pos : pos + n].reshape(shape)
+                pos += n
+        return jax.tree.unflatten(treedef, out)
+
+    @classmethod
+    def _atomic_write(cls, path: str, payload) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        blob = serialization.msgpack_serialize(jax.tree.map(np.asarray, payload))
+        blob = serialization.msgpack_serialize(cls.fetch_tree(payload))
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             f.write(blob)

@@ -12,6 +12,8 @@
 // Build: make -C native   (produces libayt_audio.so, loaded via ctypes by
 // audioyolo_tpu/data/native.py; the numpy path is the automatic fallback).
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -176,6 +178,56 @@ int64_t read_span_mono(const char* path, int64_t frame_offset, int64_t num_frame
   return count;
 }
 
+// Decodes [frame_offset, frame_offset+num_frames) as mono int16 (PCM16
+// quantization: round-to-nearest-even of x*32768, clipped — matching the
+// numpy loader path bit-for-bit). For mono PCM16 sources the samples are
+// fread straight into `out` with zero decode work. Zero-pads to out_len.
+int64_t read_span_mono_i16(const char* path, int64_t frame_offset, int64_t num_frames,
+                           int16_t* out, int64_t out_len) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -100;
+  WavHeader h;
+  int rc = parse_header(f, &h);
+  if (rc != 0) {
+    fclose(f);
+    return rc;
+  }
+  const int64_t frame_bytes = static_cast<int64_t>(h.channels) * (h.bits / 8);
+  const int64_t total = h.data_size / frame_bytes;
+  int64_t start = frame_offset < 0 ? 0 : (frame_offset > total ? total : frame_offset);
+  int64_t count = num_frames < 0 ? total - start : num_frames;
+  if (count > total - start) count = total - start;
+  if (count > out_len) count = out_len;
+
+  if (count > 0) {
+    if (h.format == kFmtPcm && h.bits == 16 && h.channels == 1) {
+      if (fseek(f, static_cast<long>(h.data_offset + start * 2), SEEK_SET) != 0 ||
+          !read_exact(f, out, static_cast<size_t>(count) * 2)) {
+        fclose(f);
+        return -8;
+      }
+    } else {
+      fclose(f);
+      std::vector<float> tmp(static_cast<size_t>(count));
+      int64_t got = read_span_mono(path, start, count, tmp.data(), count);
+      if (got < 0) return got;
+      for (int64_t i = 0; i < count; ++i) {
+        float v = tmp[static_cast<size_t>(i)] * 32768.0f;
+        long q = lrintf(v);  // round-half-even, same as np.round
+        if (q < -32768) q = -32768;
+        if (q > 32767) q = 32767;
+        out[i] = static_cast<int16_t>(q);
+      }
+      if (count < out_len)
+        memset(out + count, 0, static_cast<size_t>(out_len - count) * 2);
+      return count;
+    }
+  }
+  fclose(f);
+  if (count < out_len) memset(out + count, 0, static_cast<size_t>(out_len - count) * 2);
+  return count;
+}
+
 }  // namespace
 
 extern "C" {
@@ -217,6 +269,98 @@ int ayt_load_batch(const char** paths, int32_t n, const int64_t* frame_offsets,
         rcs[static_cast<size_t>(i)] = read_span_mono(
             paths[i], frame_offsets[i], num_frames[i], out + static_cast<int64_t>(i) * out_len,
             out_len);
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+  for (int32_t i = 0; i < n; ++i)
+    if (rcs[static_cast<size_t>(i)] < 0) return static_cast<int>(rcs[static_cast<size_t>(i)]);
+  return 0;
+}
+
+// In-memory variant: phase-group a batch of already-decoded int16 clips
+// (B, clip_len) into (B, n_ph, n_groups, frame_len) — the streaming
+// evaluator's framing step, as a pure memcpy loop instead of numpy
+// pad/reshape/stack on the host core.
+int ayt_frame_i16(const int16_t* clips, int32_t n, int64_t clip_len, int16_t* out,
+                  int32_t n_ph, int64_t n_groups, int64_t frame_len, int64_t span,
+                  const int64_t* phase_offs, int64_t left_pad, int32_t n_threads) {
+  if (n <= 0) return 0;
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n) n_threads = n;
+  int64_t max_off = 0;
+  for (int32_t r = 0; r < n_ph; ++r)
+    if (phase_offs[r] > max_off) max_off = phase_offs[r];
+  const int64_t padded_len =
+      std::max(left_pad + clip_len, max_off + n_groups * span);
+  const int64_t item_out = static_cast<int64_t>(n_ph) * n_groups * frame_len;
+
+  std::vector<std::thread> workers;
+  for (int32_t t = 0; t < n_threads; ++t) {
+    workers.emplace_back([&, t]() {
+      std::vector<int16_t> padded(static_cast<size_t>(padded_len), 0);
+      for (int32_t i = t; i < n; i += n_threads) {
+        memcpy(padded.data() + left_pad, clips + static_cast<int64_t>(i) * clip_len,
+               static_cast<size_t>(clip_len) * 2);
+        int16_t* dst = out + static_cast<int64_t>(i) * item_out;
+        for (int32_t r = 0; r < n_ph; ++r) {
+          const int16_t* base = padded.data() + phase_offs[r];
+          for (int64_t g = 0; g < n_groups; ++g)
+            memcpy(dst + (static_cast<int64_t>(r) * n_groups + g) * frame_len,
+                   base + g * span, static_cast<size_t>(frame_len) * 2);
+        }
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+  return 0;
+}
+
+// Batch decode straight into the fused frontend's phase-grouped int16 frame
+// layout (audioyolo_tpu/ops/fused_frontend.py::FusedFrameDFT.frame_host):
+//
+//   out[i, r, g, :] = padded_i[phase_offs[r] + g * span : ... + frame_len]
+//
+// where padded_i = left_pad zeros ++ clip_i (zero-padded to clip_len) ++ tail
+// zeros. Mono PCM16 files are fread directly as int16 (no float round trip,
+// no numpy restack); other formats decode via the float path and quantize
+// with the numpy loader's exact convention. One call produces the
+// device-ready (B, n_ph, n_groups, frame_len) training/inference input.
+int ayt_load_batch_framed_i16(const char** paths, int32_t n, const int64_t* frame_offsets,
+                              const int64_t* num_frames, int16_t* out, int64_t clip_len,
+                              int32_t n_ph, int64_t n_groups, int64_t frame_len,
+                              int64_t span, const int64_t* phase_offs, int64_t left_pad,
+                              int32_t n_threads) {
+  if (n <= 0) return 0;
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n) n_threads = n;
+  int64_t max_off = 0;
+  for (int32_t r = 0; r < n_ph; ++r)
+    if (phase_offs[r] > max_off) max_off = phase_offs[r];
+  const int64_t padded_len =
+      std::max(left_pad + clip_len, max_off + n_groups * span);
+  const int64_t item_out = static_cast<int64_t>(n_ph) * n_groups * frame_len;
+
+  std::vector<int64_t> rcs(static_cast<size_t>(n), 0);
+  std::vector<std::thread> workers;
+  for (int32_t t = 0; t < n_threads; ++t) {
+    workers.emplace_back([&, t]() {
+      std::vector<int16_t> padded(static_cast<size_t>(padded_len));
+      for (int32_t i = t; i < n; i += n_threads) {
+        memset(padded.data(), 0, static_cast<size_t>(left_pad) * 2);
+        int64_t got = read_span_mono_i16(paths[i], frame_offsets[i], num_frames[i],
+                                         padded.data() + left_pad, padded_len - left_pad);
+        if (got < 0) {
+          rcs[static_cast<size_t>(i)] = got;
+          continue;
+        }
+        int16_t* dst = out + static_cast<int64_t>(i) * item_out;
+        for (int32_t r = 0; r < n_ph; ++r) {
+          const int16_t* base = padded.data() + phase_offs[r];
+          for (int64_t g = 0; g < n_groups; ++g)
+            memcpy(dst + (static_cast<int64_t>(r) * n_groups + g) * frame_len,
+                   base + g * span, static_cast<size_t>(frame_len) * 2);
+        }
       }
     });
   }

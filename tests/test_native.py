@@ -68,3 +68,79 @@ def test_loader_fast_path_equals_slow_path(tmp_path):
 def test_native_missing_file_raises():
     with pytest.raises(IOError):
         native.read_mono("/nonexistent/file.wav", 0, 10, 10)
+
+
+def _python_framed(framer, audio_f32):
+    """Reference path: quantize like the loader, then numpy phase framing
+    (the leading axis keeps frame_host off its native int16 branch)."""
+    a16 = np.clip(np.round(audio_f32 * 32768.0), -32768, 32767).astype(np.int16)
+    return framer.frame_host(a16[None])[0]
+
+
+@pytest.mark.skipif(
+    not native.native_available() or not native.framed_available(),
+    reason="framed native entry point not built",
+)
+class TestFramedDecode:
+    def test_pcm16_mono_bit_exact(self, tmp_path, rng):
+        """PCM16 mono spans (with offsets and zero-padded tails) decoded into
+        the phase-grouped layout must equal quantize+frame_host exactly."""
+        from audioyolo_tpu.ops.fused_frontend import FusedFrameDFT
+
+        framer = FusedFrameDFT(22050, 16000, 1000, 1000, 1000, 64)  # 4 s clips
+        clip_len = 4 * 22050
+        paths, offs, cnts, refs = [], [], [], []
+        for i in range(3):
+            x = (0.3 * rng.standard_normal(clip_len + 500)).astype(np.float32)
+            p = str(tmp_path / f"f{i}.wav")
+            write_wav(p, x, 22050)
+            off = 100 * i
+            cnt = clip_len - 4000 * i  # shorter spans -> zero-padded tails
+            paths.append(p), offs.append(off), cnts.append(cnt)
+            ref, _ = read_wav(p, frame_offset=off, num_frames=cnt)
+            padded = np.pad(ref[0], (0, clip_len - cnt))
+            refs.append(_python_framed(framer, padded))
+        out = native.load_batch_framed_i16(paths, offs, cnts, clip_len, framer)
+        assert out.shape == (3, framer.n_ph, framer.n_groups, framer.frame_len)
+        assert out.dtype == np.int16
+        np.testing.assert_array_equal(out, np.stack(refs))
+
+    def test_stereo_falls_back_to_float_decode(self, tmp_path, rng):
+        """Non-mono sources take the C++ float decode + quantize path; allow
+        1 LSB of reduction-order slack at the int16 rounding boundary."""
+        from audioyolo_tpu.ops.fused_frontend import FusedFrameDFT
+
+        framer = FusedFrameDFT(22050, 16000, 1000, 1000, 1000, 64)
+        clip_len = 4 * 22050
+        x = (0.3 * rng.standard_normal((2, clip_len))).astype(np.float32)
+        p = str(tmp_path / "st.wav")
+        write_wav(p, x, 22050)
+        ref_f, _ = read_wav(p, num_frames=clip_len)
+        ref = _python_framed(framer, ref_f.mean(axis=0))
+        out = native.load_batch_framed_i16([p], [0], [clip_len], clip_len, framer)
+        diff = np.abs(out[0].astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 1
+
+    def test_loader_framed_path_equals_python(self, tmp_path, tiny_cfg):
+        """BatchLoader(framer=...) must produce the same batches as the
+        quantize+frame_fn fallback, including the repeat-padded final batch."""
+        from audioyolo_tpu.ops.frontend import SpectralFrontend
+
+        fe = SpectralFrontend(tiny_cfg)
+        assert fe.fused is not None
+        root = str(tmp_path / "train")
+        ann = make_flat_dataset(root, n_files=5, seed=3)
+        ds = AudioDataset(root, ann, sample_duration=4, sample_rate=8000, max_targets=8)
+
+        nat = list(BatchLoader(ds, 2, shuffle=False, prefetch=0, last_batch="pad",
+                               transfer_dtype="int16", framer=fe.fused))
+        ds2 = AudioDataset(root, ann, sample_duration=4, sample_rate=8000, max_targets=8)
+        ds2.load_audio_batch_framed = lambda *a, **k: None  # force fallback
+        ds2.load_audio_batch = lambda *a, **k: None
+        py = list(BatchLoader(ds2, 2, shuffle=False, prefetch=0, last_batch="pad",
+                              transfer_dtype="int16", frame_fn=fe.frame_host))
+        assert len(nat) == len(py) == 3
+        for nb, pb in zip(nat, py):
+            assert nb["audio"].dtype == np.int16 and nb["audio"].ndim == 4
+            for key in pb:
+                np.testing.assert_array_equal(nb[key], pb[key], err_msg=key)

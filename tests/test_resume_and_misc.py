@@ -148,3 +148,19 @@ def test_int16_transfer_path_bit_exact(tmp_path, tiny_cfg):
     a = np.asarray(fe(jnp.asarray(f32[0]["audio"])))
     b = np.asarray(fe(jnp.asarray(i16[0]["audio"])))
     np.testing.assert_array_equal(a, b)  # bit-exact: source wavs are PCM16
+
+
+def test_fetch_tree_packed_matches_per_leaf():
+    """Packed device->host fetch (one round trip per dtype instead of one per
+    leaf — the remote-tunnel checkpoint fix) must reproduce every leaf."""
+    tree = {
+        "w": jnp.arange(12, dtype=jnp.float32).reshape(3, 4),
+        "nest": {"b": jnp.ones((2, 2, 2), jnp.float32), "n": jnp.asarray(7, jnp.int32)},
+        "py_int": 3,
+        "mixed": [jnp.zeros(5, jnp.int32), 2.5, jnp.asarray(1.5, jnp.float16)],
+    }
+    got = TrainerPipeline.fetch_tree(tree)
+    ref = jax.tree.map(lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, tree)
+    for g, r in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+        assert not isinstance(g, jax.Array)  # everything landed on host

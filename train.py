@@ -89,20 +89,21 @@ def run(cfg, data_parallel: bool = False, resume: bool = False):
     transfer_dtype = tpu_cfg.get("transfer_dtype", "float32")
     # fused frontend: frame on the loader's prefetch thread so the device
     # frontend is pure GEMMs (no relayout reshapes); see ops/fused_frontend.py
-    frame_fn = None
+    frame_fn, framer = None, None
     if bool(tpu_cfg.get("framed_input", True)):
         from audioyolo_tpu.ops.frontend import SpectralFrontend
 
         _fe = SpectralFrontend(cfg)
-        frame_fn = _fe.frame_host if _fe.fused is not None else None
+        if _fe.fused is not None:
+            frame_fn, framer = _fe.frame_host, _fe.fused
     train_loader = BatchLoader(
         train_ds, batch_size, shuffle=bool(tc.get("shuffle_samples", True)),
         seed=SEED, last_batch=last_batch, transfer_dtype=transfer_dtype,
-        frame_fn=frame_fn,
+        framer=framer,
     )
     eval_loader = BatchLoader(
         eval_ds, batch_size, shuffle=False, last_batch=last_batch,
-        transfer_dtype=transfer_dtype, frame_fn=frame_fn,
+        transfer_dtype=transfer_dtype, framer=framer,
     )
 
     dtype = None
