@@ -74,3 +74,32 @@ def test_missing_kaggle_gives_actionable_error(tmp_path):
             "--root", str(tmp_path), "--name", "nope",
             "--url", "https://www.kaggle.com/datasets/user/thing",
         ])
+
+
+def test_make_synth_dataset_tool(tmp_path):
+    """tools/make_synth_dataset.py writes the reference dataset layout that
+    train.py consumes (train/ + eval/ wavs, annotations/annotation.json)."""
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "ds"
+    r = subprocess.run(
+        [sys.executable, "tools/make_synth_dataset.py", "--out", str(out),
+         "--train", "3", "--eval", "2", "--seed", "1"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    ann = json.load(open(out / "annotations" / "annotation.json"))
+    clips = ann["annotations"]["annotator_a"]
+    assert len(clips) == 5
+    from audioyolo_tpu.data.dataset import AudioDataset
+    from audioyolo_tpu.data.wavio import read_wav_info
+
+    for split, n in (("train", 3), ("eval", 2)):
+        ds = AudioDataset(str(out / split), clips, sample_duration=60,
+                          sample_rate=22050, max_targets=48)
+        assert len(ds) == n
+        assert set(ds.class2idx) <= {"music", "alarm"}
+        rate, frames, ch = read_wav_info(str(next((out / split).glob("*.wav"))))
+        assert (rate, ch) == (22050, 1) and frames == 60 * 22050

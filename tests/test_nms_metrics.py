@@ -117,3 +117,32 @@ def test_pallas_nms_matches_xla_interpret(rng):
     kp = greedy_suppress_pallas(x1, x2, valid, 0.3, interpret=True)
     kx = _greedy_suppress(interval_iou_matrix(x1, x2), 0.3)
     assert (np.asarray(kp) == np.asarray(kx)).all()
+
+
+def test_fixpoint_suppress_equals_sequential(rng):
+    """The parallel fixpoint greedy NMS must match the K-step sequential pass
+    bit-for-bit, including adversarial long suppression chains."""
+    from audioyolo_tpu.ops.nms import _greedy_suppress, _greedy_suppress_fixpoint
+
+    # random interval soups
+    for trial in range(3):
+        k = 64
+        c = rng.uniform(0, 60, (4, k)).astype(np.float32)
+        w = rng.uniform(0.5, 20, (4, k)).astype(np.float32)
+        x1, x2 = c - w / 2, c + w / 2
+        iou = interval_iou_matrix(jnp.asarray(x1), jnp.asarray(x2))
+        for t in (0.1, 0.45):
+            a = np.asarray(_greedy_suppress(iou, t))
+            b = np.asarray(_greedy_suppress_fixpoint(iou, t))
+            np.testing.assert_array_equal(a, b)
+
+    # adversarial chain: each interval overlaps only its neighbor, so greedy
+    # keeps the evens — maximal suppression-dependency depth
+    k = 63
+    x1 = np.arange(k, dtype=np.float32)[None, :] * 0.6
+    x2 = x1 + 1.0
+    iou = interval_iou_matrix(jnp.asarray(x1), jnp.asarray(x2))
+    a = np.asarray(_greedy_suppress(iou, 0.2))[0]
+    b = np.asarray(_greedy_suppress_fixpoint(iou, 0.2))[0]
+    np.testing.assert_array_equal(a, b)
+    assert a[::2].all() and not a[1::2].any()
