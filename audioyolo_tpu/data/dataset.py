@@ -214,6 +214,29 @@ class AudioDataset:
         )
         return out[:, None, :]
 
+    def load_audio_batch_i16(
+        self, indices, n_threads: int = 4
+    ) -> Optional[np.ndarray]:
+        """Native fast path to raw int16 waveforms ``(B, 1, clip_samples)`` —
+        the minimum-byte host->device layout (mono PCM16 is read with zero
+        decode work). Returns None when the native library is unavailable."""
+        from . import native
+
+        if native._load() is None or not hasattr(native._load(), "ayt_load_batch_i16"):
+            return None
+        spans = [self.audio_span(int(i)) for i in indices]
+        try:
+            out = native.load_batch_i16(
+                [s[0] for s in spans],
+                [s[1] for s in spans],
+                [min(s[2], self.clip_samples) for s in spans],
+                out_len=self.clip_samples,
+                n_threads=n_threads,
+            )
+        except Exception:
+            return None
+        return out[:, None, :]
+
     def load_audio_batch_framed(
         self, indices, framer, n_threads: int = 4
     ) -> Optional[np.ndarray]:

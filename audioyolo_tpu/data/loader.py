@@ -128,8 +128,27 @@ class BatchLoader:
             np.random.default_rng(self.seed + self._epoch).shuffle(idx)
         return idx
 
+    def _i16_batch(self, indices) -> "Dict[str, np.ndarray] | None":
+        """Native C++ decode to raw int16 waveforms — the minimum-byte
+        transfer layout (best when host->device bandwidth bounds the step;
+        docs/PERFORMANCE.md)."""
+        ds = self.dataset
+        if (
+            self.transfer_dtype != "int16"
+            or not (hasattr(ds, "load_audio_batch_i16") and hasattr(ds, "targets"))
+        ):
+            return None
+        audio = ds.load_audio_batch_i16(indices)
+        if audio is None:
+            return None
+        batch = self._targets_batch(indices)
+        batch["audio"] = audio
+        return batch
+
     def _make_batch(self, indices) -> Dict[str, np.ndarray]:
         batch = self._framed_batch(indices)
+        if batch is None and self.frame_fn is None:
+            batch = self._i16_batch(indices)
         if batch is None:
             batch = self._fast_batch(indices)
             if batch is None:

@@ -69,6 +69,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
         ]
+        if hasattr(lib, "ayt_load_batch_i16"):
+            lib.ayt_load_batch_i16.restype = ctypes.c_int
+            lib.ayt_load_batch_i16.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int32,
+            ]
         if hasattr(lib, "ayt_frame_i16"):
             lib.ayt_frame_i16.restype = ctypes.c_int
             lib.ayt_frame_i16.argtypes = [
@@ -156,6 +163,38 @@ def load_batch(
 def framed_available() -> bool:
     lib = _load()
     return lib is not None and hasattr(lib, "ayt_load_batch_framed_i16")
+
+
+def load_batch_i16(
+    paths: Sequence[str],
+    frame_offsets: Sequence[int],
+    num_frames: Sequence[int],
+    out_len: int,
+    n_threads: int = 4,
+    out: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Decode N spans to raw int16 waveforms ``(N, out_len)`` — the
+    minimum-byte host->device layout (mono PCM16 is fread directly)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "ayt_load_batch_i16"):
+        raise RuntimeError("native int16 loader unavailable")
+    n = len(paths)
+    if out is None:
+        out = np.empty((n, out_len), np.int16)
+    assert out.shape == (n, out_len) and out.dtype == np.int16 and out.flags.c_contiguous
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    offs = np.asarray(frame_offsets, np.int64)
+    cnts = np.asarray(num_frames, np.int64)
+    rc = lib.ayt_load_batch_i16(
+        c_paths, n,
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cnts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        out_len, n_threads,
+    )
+    if rc != 0:
+        raise IOError(f"native int16 batch load failed (code {rc})")
+    return out
 
 
 def frame_i16(clips: np.ndarray, framer, n_threads: int = 2) -> np.ndarray:

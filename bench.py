@@ -193,10 +193,13 @@ def main():
     # #1 single-clip latency (ratio vs baseline is N/A for a latency metric)
     _emit("single_clip_latency", bench_single_clip(cfg, infer_fn, frame_fn), "ms/60s-clip", vs=0.0)
     # #3 long-form streaming throughput (host IO + transfers included);
-    # packed single-buffer detection fetch + host framing on the fly
-    infer_packed, frame_fn2, _ = _build_infer(cfg, packed=True)
+    # packed single-buffer detection fetch. Streaming is host->device
+    # transfer bound on this tunnelled chip (~45 MB/s once any result has
+    # been fetched — docs/PERFORMANCE.md), so it ships minimum-byte int16
+    # waveforms rather than host-framed input (3.5x faster here).
+    infer_packed, _, _ = _build_infer(cfg, packed=True)
     _emit("streaming_audio_seconds_per_sec",
-          bench_streaming(cfg, infer_packed, frame_fn2), "audio-s/s")
+          bench_streaming(cfg, infer_packed, None), "audio-s/s")
     # #4 training step throughput
     _emit("train_audio_seconds_per_sec", bench_train_step(cfg), "audio-s/s")
     # #5 scaled backbone (Bottleneck [3,4,6,3])

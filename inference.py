@@ -90,7 +90,13 @@ def build_inference(cfg, num_classes, model_path, iou_threshold, conf_threshold,
 
 
 def build_frame_fn(cfg):
-    """Host framer for the fused frontend path (None when ineligible)."""
+    """Host framer for the fused frontend path (None when ineligible).
+
+    Only worth enabling (``--framed_input``) when host->device bandwidth is
+    plentiful: framed input trades ~29% more transfer bytes for ~10 ms less
+    device work per 32-clip batch. Streaming inference is usually
+    transfer-bound, so the default ships minimum-byte int16 waveforms
+    (docs/PERFORMANCE.md)."""
     from audioyolo_tpu.ops.frontend import SpectralFrontend
 
     fe = SpectralFrontend(cfg)
@@ -119,6 +125,10 @@ def main():
                              "checkpoints (per-branch RepVGG activation, no fold)")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute for the detector body")
+    parser.add_argument("--framed_input", action="store_true",
+                        help="host-frame clips for the fused frontend (more "
+                             "transfer bytes, less device work — only wins on "
+                             "fast host->device links)")
     args = parser.parse_args()
 
     cfg = load_config(args.config)
@@ -141,7 +151,7 @@ def main():
         sample_duration=cfg.sample_duration,
         batch_size=batch_size,
         idx2class_map=idx2class,
-        frame_fn=build_frame_fn(cfg),
+        frame_fn=build_frame_fn(cfg) if args.framed_input else None,
     )
     if args.audio_filepath:
         if not os.path.isfile(args.audio_filepath):

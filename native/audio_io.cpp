@@ -316,6 +316,33 @@ int ayt_frame_i16(const int16_t* clips, int32_t n, int64_t clip_len, int16_t* ou
   return 0;
 }
 
+// Batch decode to raw int16 waveforms (B, out_len): the minimum-byte
+// host->device layout (the transfer-bound choice — see docs/PERFORMANCE.md).
+// Mono PCM16 is fread directly; other formats decode via float and quantize
+// like the numpy loader.
+int ayt_load_batch_i16(const char** paths, int32_t n, const int64_t* frame_offsets,
+                       const int64_t* num_frames, int16_t* out, int64_t out_len,
+                       int32_t n_threads) {
+  if (n <= 0) return 0;
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n) n_threads = n;
+  std::vector<int64_t> rcs(static_cast<size_t>(n), 0);
+  std::vector<std::thread> workers;
+  for (int32_t t = 0; t < n_threads; ++t) {
+    workers.emplace_back([&, t]() {
+      for (int32_t i = t; i < n; i += n_threads) {
+        rcs[static_cast<size_t>(i)] = read_span_mono_i16(
+            paths[i], frame_offsets[i], num_frames[i],
+            out + static_cast<int64_t>(i) * out_len, out_len);
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+  for (int32_t i = 0; i < n; ++i)
+    if (rcs[static_cast<size_t>(i)] < 0) return static_cast<int>(rcs[static_cast<size_t>(i)]);
+  return 0;
+}
+
 // Batch decode straight into the fused frontend's phase-grouped int16 frame
 // layout (audioyolo_tpu/ops/fused_frontend.py::FusedFrameDFT.frame_host):
 //

@@ -121,6 +121,22 @@ class TestFramedDecode:
         diff = np.abs(out[0].astype(np.int32) - ref.astype(np.int32))
         assert diff.max() <= 1
 
+    def test_loader_i16_waveform_path_equals_python(self, tmp_path):
+        """BatchLoader with transfer_dtype=int16 and no framer must take the
+        native raw-int16 waveform path and match the quantize fallback."""
+        root = str(tmp_path / "train")
+        ann = make_flat_dataset(root, n_files=4, seed=7)
+        ds = AudioDataset(root, ann, sample_duration=4, sample_rate=8000, max_targets=8)
+        nat = list(BatchLoader(ds, 2, shuffle=False, prefetch=0, transfer_dtype="int16"))
+        ds2 = AudioDataset(root, ann, sample_duration=4, sample_rate=8000, max_targets=8)
+        ds2.load_audio_batch_i16 = lambda *a, **k: None  # force fallback
+        py = list(BatchLoader(ds2, 2, shuffle=False, prefetch=0, transfer_dtype="int16"))
+        assert len(nat) == len(py) == 2
+        for nb, pb in zip(nat, py):
+            assert nb["audio"].dtype == np.int16 and nb["audio"].shape == pb["audio"].shape
+            for key in pb:
+                np.testing.assert_array_equal(nb[key], pb[key], err_msg=key)
+
     def test_loader_framed_path_equals_python(self, tmp_path, tiny_cfg):
         """BatchLoader(framer=...) must produce the same batches as the
         quantize+frame_fn fallback, including the repeat-padded final batch."""
