@@ -59,6 +59,7 @@ def evaluate_dir(
 
     if not paths:
         return done
+    threaded_done = 0
     with ThreadPoolExecutor(max_workers=max(1, num_concurrency)) as pool:
         futures = {
             pool.submit(
@@ -73,7 +74,7 @@ def evaluate_dir(
         }
         for fut in as_completed(futures):
             fut.result()  # propagate worker exceptions
-            done += 1
+            threaded_done += 1
             if verbose:
-                print(f"[{done}/{len(paths)}] {os.path.basename(futures[fut])}")
-    return done
+                print(f"[{threaded_done}/{len(paths)}] {os.path.basename(futures[fut])}")
+    return done + threaded_done

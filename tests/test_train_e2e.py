@@ -114,6 +114,64 @@ def test_data_parallel_matches_single_device(tmp_path, tiny_cfg):
         assert diff.max() < 3e-3  # bounded by ~2*lr
 
 
+def test_data_parallel_framed_int16_matches_waveform(tmp_path, tiny_cfg):
+    """Sharded training on phase-grouped int16 frames (the 4-D device-put
+    layout the framed loader ships) must match sharded training on the
+    float waveform batch."""
+    from audioyolo_tpu.ops.frontend import SpectralFrontend
+
+    root = str(tmp_path / "train")
+    ann = make_flat_dataset(root, n_files=8, seed=6)
+    ds = AudioDataset(root, ann, sample_duration=4, sample_rate=8000, max_targets=8)
+    nc = len(ds.class2idx)
+    fe = SpectralFrontend(tiny_cfg)
+    assert fe.fused is not None
+
+    wave = AudioDataset.collate([ds[i] for i in range(8)])
+    framed = dict(wave)
+    a16 = np.clip(np.round(wave["audio"] * 32768.0), -32768, 32767).astype(np.int16)
+    framed["audio"] = fe.frame_host(a16[:, 0, :])
+    assert framed["audio"].ndim == 4 and framed["audio"].dtype == np.int16
+
+    # plain SGD: under Adam the first-step update is +-lr for ANY gradient
+    # noise (sign flips on near-zero grads), which would swamp the layout
+    # comparison; with SGD param diffs track gradient diffs directly
+    import copy
+
+    from audioyolo_tpu.config import Config
+
+    raw = copy.deepcopy(tiny_cfg.to_dict())
+    raw["train_config"]["optimizer_config"] = {"name": "SGD", "lr": 0.01}
+    cfg = Config(raw)
+    _, _, t_a = _build(cfg, nc, mesh=make_mesh(8))
+    _, _, t_b = _build(cfg, nc, mesh=make_mesh(8))
+    s_a = t_a.create_state(wave["audio"][:1])
+    s_b = t_b.create_state(framed["audio"][:1])
+
+    class One:
+        def __init__(self, b):
+            self.b = b
+
+        def __iter__(self):
+            return iter([self.b])
+
+    s_a, m_a = t_a.train(s_a, One(wave))
+    s_b, m_b = t_b.train(s_b, One(framed))
+    # int16 quantization is bit-exact for these PCM16-derived waveforms, and
+    # forward logits match to 5e-4 (test_framed_loader_and_model_forward) —
+    # but one-step PARAM equality is not a stable property of this loss: its
+    # clip boundaries (CIoU clamps, width squaring) turn ~1e-5 feature noise
+    # into O(1) gradient flips on boundary cells. Assert what is stable:
+    # identical loss/metrics to float noise, and a second step executing.
+    # (percent-level slack: log-power amplifies the two formulations'
+    # ~1e-6 linear-domain noise on near-silent bins)
+    assert m_a["aggregate_loss"] == pytest.approx(m_b["aggregate_loss"], rel=5e-3)
+    for k in ("mean_ciou", "conf_loss", "class_loss", "f1"):
+        assert m_a[k] == pytest.approx(m_b[k], rel=2e-2, abs=1e-3), k
+    s_b, m_b2 = t_b.train(s_b, One(framed))
+    assert np.isfinite(m_b2["aggregate_loss"])
+
+
 def test_clip_valid_masks_padded_clips(tiny_cfg):
     """Repeat-padded clips (last_batch="pad") must contribute nothing: loss
     and every metric on the padded batch + clip_valid mask equal the values
