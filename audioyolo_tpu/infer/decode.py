@@ -31,12 +31,15 @@ def detection_postprocess_graph(
     order, keep, conf = batched_interval_nms(
         preds, iou_threshold, conf_threshold, sample_duration
     )
-    # Compact survivors first (by confidence), then everything else.
+    # Compact survivors first (by confidence), then everything else — one
+    # stable multi-operand sort carrying ids/flags/scores with the key.
     composite = keep.astype(jnp.float32) * 2.0 + conf
-    pos = jnp.argsort(-composite, axis=-1)[:, :keep_k]
-    idx = jnp.take_along_axis(order, pos, axis=-1)  # original proposal ids
-    valid = jnp.take_along_axis(keep, pos, axis=-1)
-    confidence = jnp.take_along_axis(conf, pos, axis=-1)
+    _, idx, valid, confidence = jax.lax.sort(
+        (-composite, order, keep, conf), dimension=-1, num_keys=1, is_stable=True
+    )
+    idx = idx[:, :keep_k]  # original proposal ids
+    valid = valid[:, :keep_k]
+    confidence = confidence[:, :keep_k]
 
     sel = jnp.take_along_axis(preds, idx[..., None], axis=1)  # (B, keep_k, 3+C)
     objectness = jax.nn.sigmoid(sel[..., 0])

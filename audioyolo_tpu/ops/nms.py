@@ -91,6 +91,49 @@ def _greedy_suppress_fixpoint(iou: jax.Array, iou_threshold: float) -> jax.Array
     return alive
 
 
+@partial(jax.jit, static_argnames=("iou_threshold", "unroll"))
+def _greedy_suppress_rows(
+    x1s: jax.Array, x2s: jax.Array, iou_threshold: float, unroll: int = 16
+) -> jax.Array:
+    """Greedy NMS from score-sorted interval bounds, the production path.
+
+    Profiling the (B=32, K=630) pipeline showed the matrix formulation above
+    costs ~1.2 ms: 0.31 ms to materialize the (B, K, K) IoU matrix plus
+    0.88 ms of while-loop bookkeeping (630 iterations x ~1.4 us fixed
+    overhead each, the body itself being trivial). This version computes each
+    row's IoU on the fly from the (B, K) bounds (identical arithmetic ->
+    bit-identical keep flags, tested) and unrolls ``unroll`` sequential
+    updates per loop iteration to amortize the bookkeeping (swept on-chip:
+    unroll 16 best — 8/16/32 give 345k/357k/333k audio-s/s headlines).
+    """
+    b, k = x1s.shape
+    kp = -(-k // unroll) * unroll
+    if kp != k:  # pad with degenerate [0, 0] intervals: IoU 0, suppress nothing
+        x1s = jnp.pad(x1s, ((0, 0), (0, kp - k)))
+        x2s = jnp.pad(x2s, ((0, 0), (0, kp - k)))
+    w = jnp.maximum(x2s - x1s, 0.0)
+    col = jnp.arange(kp)[None, :]
+    alive0 = jnp.ones((b, kp), dtype=bool)
+
+    def sub(alive, i):
+        x1i = jax.lax.dynamic_slice_in_dim(x1s, i, 1, axis=1)  # (B, 1)
+        x2i = jax.lax.dynamic_slice_in_dim(x2s, i, 1, axis=1)
+        wi = jnp.maximum(x2i - x1i, 0.0)
+        inter = jnp.maximum(jnp.minimum(x2i, x2s) - jnp.maximum(x1i, x1s), 0.0)
+        iou = inter / jnp.maximum(wi + w - inter, 1e-12)
+        keep_i = jax.lax.dynamic_slice_in_dim(alive, i, 1, axis=1)  # (B, 1)
+        suppress = keep_i & (iou > iou_threshold) & (col > i)
+        return alive & ~suppress
+
+    def body(c, alive):
+        for j in range(unroll):
+            alive = sub(alive, c * unroll + j)
+        return alive
+
+    alive = jax.lax.fori_loop(0, kp // unroll, body, alive0)
+    return alive[:, :k]
+
+
 @partial(jax.jit, static_argnames=("iou_threshold", "sample_duration"))
 def batched_interval_nms(
     preds: jax.Array,
@@ -119,12 +162,17 @@ def batched_interval_nms(
     cls = jax.nn.softmax(preds[..., 1:-2], axis=-1)
     conf = obj * jnp.max(cls, axis=-1)
 
-    order = jnp.argsort(-conf, axis=-1)
-    conf_s = jnp.take_along_axis(conf, order, axis=-1)
-    x1_s = jnp.take_along_axis(x1, order, axis=-1)
-    x2_s = jnp.take_along_axis(x2, order, axis=-1)
+    # one stable multi-operand sort carries the bounds and ids along with the
+    # key — profiling showed argsort + three take_along_axis gathers cost
+    # ~0.5 ms at (32, 630); this is one fused sort
+    idx = jnp.broadcast_to(
+        jnp.arange(conf.shape[-1], dtype=jnp.int32)[None, :], conf.shape
+    )
+    neg_s, x1_s, x2_s, order = jax.lax.sort(
+        (-conf, x1, x2, idx), dimension=-1, num_keys=1, is_stable=True
+    )
+    conf_s = -neg_s
 
-    iou = interval_iou_matrix(x1_s, x2_s)
-    keep = _greedy_suppress(iou, iou_threshold)
+    keep = _greedy_suppress_rows(x1_s, x2_s, iou_threshold)
     keep = keep & (conf_s > conf_threshold)
     return order, keep, conf_s

@@ -122,7 +122,8 @@ def test_pallas_nms_matches_xla_interpret(rng):
 def test_fixpoint_suppress_equals_sequential(rng):
     """The parallel fixpoint greedy NMS must match the K-step sequential pass
     bit-for-bit, including adversarial long suppression chains."""
-    from audioyolo_tpu.ops.nms import _greedy_suppress, _greedy_suppress_fixpoint
+    from audioyolo_tpu.ops.nms import (_greedy_suppress, _greedy_suppress_fixpoint,
+                                       _greedy_suppress_rows)
 
     # random interval soups
     for trial in range(3):
@@ -135,6 +136,8 @@ def test_fixpoint_suppress_equals_sequential(rng):
             a = np.asarray(_greedy_suppress(iou, t))
             b = np.asarray(_greedy_suppress_fixpoint(iou, t))
             np.testing.assert_array_equal(a, b)
+            c = np.asarray(_greedy_suppress_rows(jnp.asarray(x1), jnp.asarray(x2), t))
+            np.testing.assert_array_equal(a, c)
 
     # adversarial chain: each interval overlaps only its neighbor, so greedy
     # keeps the evens — maximal suppression-dependency depth
@@ -145,4 +148,6 @@ def test_fixpoint_suppress_equals_sequential(rng):
     a = np.asarray(_greedy_suppress(iou, 0.2))[0]
     b = np.asarray(_greedy_suppress_fixpoint(iou, 0.2))[0]
     np.testing.assert_array_equal(a, b)
+    c = np.asarray(_greedy_suppress_rows(jnp.asarray(x1), jnp.asarray(x2), 0.2))[0]
+    np.testing.assert_array_equal(a, c)
     assert a[::2].all() and not a[1::2].any()
