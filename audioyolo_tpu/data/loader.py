@@ -41,6 +41,7 @@ class BatchLoader:
         transfer_dtype: str = "float32",
         frame_fn=None,
         framer=None,
+        shard: "tuple[int, int] | None" = None,
     ):
         """``transfer_dtype="int16"`` ships PCM16 to the device and lets the
         frontend dequantize in-graph — 4x less host->device traffic, bit-exact
@@ -57,7 +58,15 @@ class BatchLoader:
         ``transfer_dtype="int16"`` the batch is read from disk straight into
         the phase-grouped int16 frame layout in one multithreaded C call (no
         float round trip, no numpy restack, no quantize pass). Implies
-        ``frame_fn=framer.frame_host`` for the fallback paths."""
+        ``frame_fn=framer.frame_host`` for the fallback paths.
+
+        ``shard=(index, count)`` makes this loader own a disjoint 1/count
+        slice of every epoch — the multi-host data-parallel contract
+        (``jax.process_index()/process_count()``): all hosts shuffle the same
+        global order (same seed+epoch), each takes a strided slice, so the
+        union covers the dataset exactly once per epoch. Lengths stay equal
+        across hosts (required for lockstep collectives): the last slice is
+        padded by wrap-around when ``len(dataset)`` is not divisible."""
         if last_batch not in ("partial", "pad", "drop"):
             raise ValueError(f"unknown last_batch policy '{last_batch}'")
         if transfer_dtype not in ("float32", "int16"):
@@ -73,10 +82,22 @@ class BatchLoader:
         if frame_fn is None and framer is not None:
             frame_fn = framer.frame_host
         self.frame_fn = frame_fn
+        if shard is not None:
+            index, count = int(shard[0]), int(shard[1])
+            if not (0 <= index < count):
+                raise ValueError(f"shard index {index} out of range for count {count}")
+            shard = (index, count)
+        self.shard = shard
         self._epoch = 0
 
-    def __len__(self) -> int:
+    def _shard_len(self) -> int:
         n = len(self.dataset)
+        if self.shard is None:
+            return n
+        return -(-n // self.shard[1])  # ceil: equal length on every host
+
+    def __len__(self) -> int:
+        n = self._shard_len()
         if self.last_batch == "drop":
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -126,6 +147,13 @@ class BatchLoader:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng(self.seed + self._epoch).shuffle(idx)
+        if self.shard is not None:
+            i, c = self.shard
+            per = self._shard_len()
+            if len(idx):  # wrap-pad so every host sees exactly `per` items
+                idx = np.resize(idx, per * c)[i::c]
+            else:
+                idx = idx[:0]
         return idx
 
     def _i16_batch(self, indices) -> "Dict[str, np.ndarray] | None":

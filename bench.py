@@ -29,7 +29,13 @@ import numpy as np
 
 BASELINE_AUDIO_SECONDS_PER_SEC = 50.0  # 50x realtime target per chip
 NUM_CLASSES = 2
-BATCH = 32
+# Offline-batch serving batch size for the throughput headline. The jitted
+# step is dispatch-overhead-bound at small batches on this remote runtime;
+# sweep (docs/PERFORMANCE.md): B=32/64/128/256/512 ->
+# 316k/458k/677k/797k/849k audio-s/s. 256 sits at the knee (4.3 h of audio
+# per dispatch — a realistic offline chunk) without 512's memory footprint.
+BATCH_INFER = 256
+BATCH = 32  # train/streaming/latency configs keep the reference's batch
 WARMUP = 3
 ITERS = 10
 
@@ -95,10 +101,10 @@ def _bench_input(cfg, frame_fn, batch, seed):
     return jax.device_put(jnp.asarray(audio))
 
 
-def bench_batched(cfg, infer_fn, frame_fn):
-    audio = _bench_input(cfg, frame_fn, BATCH, 0)
+def bench_batched(cfg, infer_fn, frame_fn, batch=BATCH_INFER):
+    audio = _bench_input(cfg, frame_fn, batch, 0)
     dt = _steady_state(infer_fn, audio)
-    return BATCH * float(cfg.sample_duration) / dt
+    return batch * float(cfg.sample_duration) / dt
 
 
 def bench_single_clip(cfg, infer_fn_b1, frame_fn):
@@ -132,9 +138,16 @@ def bench_streaming(cfg, infer_fn, frame_fn, tmpdir="/tmp/bench_stream"):
 
 
 def bench_train_step(cfg):
+    from audioyolo_tpu.config import Config
     from audioyolo_tpu.models import AudioDetectionModel
     from audioyolo_tpu.train import AudioDetectionLoss, TrainerPipeline, make_optimizer
 
+    # training posture mirrors serving: bf16 detector body AND bf16 frontend
+    # GEMMs (the frontend has no trainable params — fwd only; fp32 HIGHEST
+    # there was 3.6 ms of the 9.7 ms step)
+    raw = cfg.to_dict()
+    raw.setdefault("tpu_config", {})["frontend_precision"] = "default"
+    cfg = Config(raw)
     model = AudioDetectionModel.from_config(cfg, num_classes=NUM_CLASSES, dtype=jnp.bfloat16)
     tc = cfg.raw["train_config"]
     loss_fn = AudioDetectionLoss(

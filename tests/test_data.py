@@ -133,3 +133,44 @@ def test_loader_policies(tmp_path):
     e1 = [b["audio"].sum() for b in ld]
     e2 = [b["audio"].sum() for b in ld]
     assert len(e1) == len(e2)
+
+
+def test_loader_sharding_partitions_epoch(tmp_path):
+    """shard=(i, n) loaders must cover the globally-shuffled epoch exactly
+    once (up to wrap-padding), with equal lengths on every shard."""
+    root = str(tmp_path / "train")
+    ann = make_flat_dataset(root, n_files=7, seed=2)
+    ds = AudioDataset(root, ann, sample_duration=4, sample_rate=8000, max_targets=8)
+    assert len(ds) == 7
+
+    def epoch_ids(loader):
+        ids = []
+        for b in loader:
+            # recover dataset identity via the audio content hash
+            for a in b["audio"]:
+                ids.append(a.tobytes())
+        return ids
+
+    full = BatchLoader(ds, 2, shuffle=True, seed=5)
+    shards = [BatchLoader(ds, 2, shuffle=True, seed=5, shard=(i, 3)) for i in range(3)]
+    assert all(len(s) == 2 for s in shards)  # ceil(7/3)=3 items -> 2 batches
+
+    ref = epoch_ids(full)
+    got = [epoch_ids(s) for s in shards]
+    assert all(len(g) == 3 for g in got)
+    # union covers the dataset; total = 9 = 7 + 2 wrap-padded duplicates
+    assert set(ref) == set(x for g in got for x in g)
+    # shards draw from the same global order: concatenating them re-sorted by
+    # stride position reproduces the wrapped order
+    wrapped = ref + ref[:2]
+    expect = [[wrapped[j] for j in range(i, 9, 3)] for i in range(3)]
+    assert got == expect
+
+    # epochs advance the shuffle identically across shards
+    ref2 = epoch_ids(full)
+    assert ref2 != ref
+    got2 = [epoch_ids(BatchLoader(ds, 2, shuffle=True, seed=5, shard=(i, 3))) for i in range(3)]
+    assert set(x for g in got2 for x in g) == set(ref)  # same dataset
+
+    with pytest.raises(ValueError):
+        BatchLoader(ds, 2, shard=(3, 3))

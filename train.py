@@ -96,14 +96,21 @@ def run(cfg, data_parallel: bool = False, resume: bool = False):
         _fe = SpectralFrontend(cfg)
         if _fe.fused is not None:
             frame_fn, framer = _fe.frame_host, _fe.fused
+    # multi-host DP: each host loads a disjoint 1/process_count slice of the
+    # globally-shuffled epoch (equal lengths — lockstep collectives)
+    import jax
+
+    shard = None
+    if data_parallel and jax.process_count() > 1:
+        shard = (jax.process_index(), jax.process_count())
     train_loader = BatchLoader(
         train_ds, batch_size, shuffle=bool(tc.get("shuffle_samples", True)),
         seed=SEED, last_batch=last_batch, transfer_dtype=transfer_dtype,
-        framer=framer,
+        framer=framer, shard=shard,
     )
     eval_loader = BatchLoader(
         eval_ds, batch_size, shuffle=False, last_batch=last_batch,
-        transfer_dtype=transfer_dtype, framer=framer,
+        transfer_dtype=transfer_dtype, framer=framer, shard=shard,
     )
 
     dtype = None
