@@ -175,17 +175,20 @@ class BatchLoader:
 
     def _make_batch(self, indices) -> Dict[str, np.ndarray]:
         batch = self._framed_batch(indices)
-        if batch is None and self.frame_fn is None:
-            batch = self._i16_batch(indices)
         if batch is None:
-            batch = self._fast_batch(indices)
+            # int16 transfers: native raw-i16 decode first (zero decode work
+            # for mono PCM16) — with a frame_fn it also feeds the framer's
+            # native int16 branch, skipping the float+quantize round trip
+            batch = self._i16_batch(indices)
             if batch is None:
-                items = [self.dataset[int(i)] for i in indices]
-                batch = AudioDataset.collate(items)
-            if self.transfer_dtype == "int16":
-                batch["audio"] = np.clip(
-                    np.round(batch["audio"] * 32768.0), -32768, 32767
-                ).astype(np.int16)
+                batch = self._fast_batch(indices)
+                if batch is None:
+                    items = [self.dataset[int(i)] for i in indices]
+                    batch = AudioDataset.collate(items)
+                if self.transfer_dtype == "int16":
+                    batch["audio"] = np.clip(
+                        np.round(batch["audio"] * 32768.0), -32768, 32767
+                    ).astype(np.int16)
             if self.frame_fn is not None:
                 audio = batch["audio"]
                 if audio.ndim == 3:

@@ -55,7 +55,8 @@ def evaluate_dir(
                 frame_fn=kwargs.get("frame_fn"),
                 verbose=verbose,
             )
-            paths = [p for p in paths if p not in set(native_rate)]
+            batched = set(native_rate)
+            paths = [p for p in paths if p not in batched]
 
     if not paths:
         return done

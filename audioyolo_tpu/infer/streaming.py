@@ -224,6 +224,22 @@ def evaluate_files_batched(
     sample_size = int(sample_duration * input_sample_rate)
     infos = [read_wav_info(p) for p in paths]
     per_file_rows: List[List[dict]] = [[] for _ in paths]
+    # windows still in flight per file: when a file's count drains to zero its
+    # CSV is written (and progress printed) immediately, not at the very end
+    remaining = [-(-total // sample_size) for (_, total, _) in infos]
+    os.makedirs(output_dir, exist_ok=True)
+    done_count = [0]
+
+    def finish_file(fi: int):
+        write_rows_csv(per_file_rows[fi], idx2class_map, paths[fi], output_dir)
+        per_file_rows[fi] = []
+        done_count[0] += 1
+        if verbose:
+            print(f"[{done_count[0]}/{len(paths)}] {os.path.basename(paths[fi])}")
+
+    for fi, r in enumerate(remaining):
+        if r == 0:  # zero-length file: no windows, write its (empty) CSV now
+            finish_file(fi)
 
     def windows():
         for fi, (path, (_, total, _)) in enumerate(zip(paths, infos)):
@@ -263,6 +279,9 @@ def evaluate_files_batched(
                     "confidence": conf, "objectness": obj, "class_idx": cls,
                     "start": base + start, "end": base + end,
                 })
+            remaining[fi] -= 1
+            if remaining[fi] == 0:
+                finish_file(fi)
 
     pending = None
     metas, wins = [], []
@@ -282,12 +301,7 @@ def evaluate_files_batched(
         pending = (metas, out)
     if pending is not None:
         drain(*pending)
-
-    os.makedirs(output_dir, exist_ok=True)
-    for fi, path in enumerate(paths):
-        write_rows_csv(per_file_rows[fi], idx2class_map, path, output_dir)
-        if verbose:
-            print(f"[{fi + 1}/{len(paths)}] {os.path.basename(path)}")
+    assert done_count[0] == len(paths), "window accounting out of sync"
     return len(paths)
 
 

@@ -240,7 +240,9 @@ class MelBranch:
     def __init__(self, mel_cfg: dict, sr_model: int,
                  precision=jax.lax.Precision.HIGHEST):
         self.precision = precision
-        self.n_fft = int(mel_cfg["n_fft"])
+        # torchaudio's MelSpectrogram defaults (n_fft=400, etc.) so an empty
+        # mfcc_config.melkwargs — valid for torchaudio.transforms.MFCC — works
+        self.n_fft = int(mel_cfg.get("n_fft", 400))
         self.win_length = int(mel_cfg.get("win_length") or self.n_fft)
         self.hop = int(mel_cfg.get("hop_length") or self.win_length // 2)
         self.center = bool(mel_cfg.get("center", True))
@@ -342,9 +344,9 @@ class SpectralFrontend:
             and self.shared_mel
         ):
             try:
-                from .fused_frontend import FusedFrameDFT
+                from .fused_frontend import get_fused_frame_dft
 
-                self.fused = FusedFrameDFT(
+                self.fused = get_fused_frame_dft(
                     self.sr_in, self.sr_model, self.mel.n_fft, self.mel.hop,
                     self.mel.win_length, cfg.n_frames,
                 )

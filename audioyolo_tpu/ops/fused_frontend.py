@@ -27,6 +27,7 @@ matrix ``C_r = A_r @ W`` where ``A_r`` is the local resample operator and
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional, Tuple
 
@@ -36,6 +37,27 @@ import numpy as np
 
 from .frontend import dft_power_matrix, hann_window
 from .resample import sinc_resample_kernel
+
+
+@functools.lru_cache(maxsize=8)
+def get_fused_frame_dft(
+    orig_freq: int,
+    new_freq: int,
+    n_fft: int,
+    hop: int,
+    win_length: int,
+    n_frames: int,
+    lowpass_filter_width: int = 6,
+    rolloff: float = 0.99,
+) -> "FusedFrameDFT":
+    """Cached constructor: the float64 per-phase matrix precompute costs
+    seconds on a 1-core host, and CLIs otherwise build it twice (once inside
+    the model's frontend, once for the host framer). Instances are immutable
+    after init, so sharing is safe."""
+    return FusedFrameDFT(
+        orig_freq, new_freq, n_fft, hop, win_length, n_frames,
+        lowpass_filter_width, rolloff,
+    )
 
 
 class FusedFrameDFT:

@@ -96,9 +96,10 @@ def make_lr_schedule(cfg: Dict[str, Any], base_lr: float, steps_per_epoch: int) 
         )
 
     if name == "OneCycleLR":
-        # epoch-indexed (the reference steps its scheduler once per epoch):
-        # cosine ramp-up to max_lr over pct_start, cosine anneal to
-        # max_lr / final_div_factor after.
+        # epoch-indexed (the reference steps its scheduler once per epoch);
+        # torch's exact closed form (two-phase cosine, torch
+        # lr_scheduler.OneCycleLR._annealing_cos): phase boundary at
+        # pct_start*total_steps - 1, anneal initial->max->initial/final_div.
         total = int(cfg.get("total_steps") or cfg.get("epochs", 200))
         max_lr = float(cfg.get("max_lr", base_lr))
         pct_start = float(cfg.get("pct_start", 0.3))
@@ -106,14 +107,16 @@ def make_lr_schedule(cfg: Dict[str, Any], base_lr: float, steps_per_epoch: int) 
         final_div = float(cfg.get("final_div_factor", 1e4))
         initial = max_lr / div
         final = initial / final_div
-        up = max(round(pct_start * total), 1)
-        down = max(total - up, 1)
+        step_up = max(float(pct_start * total) - 1.0, 1e-9)
+        step_down = max(float(total - 1) - step_up, 1e-9)
+
+        def anneal(start, end, pct):
+            return end + (start - end) / 2.0 * (1 + jnp.cos(math.pi * jnp.clip(pct, 0.0, 1.0)))
 
         def f(e):
-            cos = lambda frac: (1 + jnp.cos(math.pi * (1 - jnp.clip(frac, 0, 1)))) / 2
-            lr_up = initial + (max_lr - initial) * cos(e / up)
-            lr_down = final + (max_lr - final) * cos(1 - (e - up) / down)
-            return jnp.where(e < up, lr_up, lr_down)
+            lr_up = anneal(initial, max_lr, e / step_up)
+            lr_down = anneal(max_lr, final, (e - step_up) / step_down)
+            return jnp.where(e <= step_up, lr_up, lr_down)
 
         return epochwise(f)
 
@@ -205,6 +208,10 @@ def make_optimizer(
         return _l2_chain(optax.scale_by_adamax(b1=float(b1), b2=float(b2), eps=eps))
 
     if name == "NAdam":
+        # documented deviation: optax's nesterov-Adam is the Dozat
+        # formulation; torch.optim.NAdam additionally schedules the momentum
+        # coefficient by 0.96^t (momentum_decay). Trajectories agree to ~1e-3
+        # over typical horizons (tests/test_optim.py bounds it).
         b1, b2 = cfg.pop("betas", (0.9, 0.999))
         eps = float(cfg.pop("eps", 1e-8))
         return _l2_chain(optax.scale_by_adam(b1=float(b1), b2=float(b2), eps=eps, nesterov=True))

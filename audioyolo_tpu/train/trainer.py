@@ -184,8 +184,19 @@ class TrainerPipeline:
             targets["clip_valid"] = batch["clip_valid"]
         if self.mesh is not None:
             data = NamedSharding(self.mesh, P(self.data_axis))
-            audio = jax.device_put(audio, data)
-            targets = {k: jax.device_put(v, data) for k, v in targets.items()}
+            if any(
+                d.process_index != jax.process_index()
+                for d in self.mesh.devices.flat
+            ):
+                # multi-host mesh: each process holds only its 1/process_count
+                # slice of the global batch (BatchLoader shard=...); a plain
+                # device_put would treat the local array as the GLOBAL value
+                # and silently keep only this host's rows of it
+                put = lambda x: jax.make_array_from_process_local_data(data, x)
+            else:
+                put = lambda x: jax.device_put(x, data)
+            audio = put(audio)
+            targets = {k: put(v) for k, v in targets.items()}
         else:
             audio = jax.device_put(audio)
             targets = jax.device_put(targets)

@@ -86,6 +86,9 @@ SCHED_CASES = [
     ("CosineAnnealingWarmRestarts", {"T_0": 3, "T_mult": 2, "eta_min": 0.0}),
     ("LinearLR", {"start_factor": 0.25, "end_factor": 1.0, "total_iters": 4}),
     ("PolynomialLR", {"total_iters": 8, "power": 2.0}),
+    ("OneCycleLR", {"max_lr": 0.5, "total_steps": 10}),
+    ("OneCycleLR", {"max_lr": 0.3, "total_steps": 12, "pct_start": 0.5,
+                    "div_factor": 10.0, "final_div_factor": 100.0}),
 ]
 
 

@@ -267,3 +267,38 @@ def test_ema_training(tmp_path, tiny_cfg):
     d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()), state.ema.params, state.params)
     assert max(jax.tree_util.tree_leaves(d)) < 1e-2
     _ = trainer.evaluate(state, loader)
+
+
+def test_custom_backbone_trains_and_infers(tmp_path, tiny_cfg):
+    """End-to-end with backbone="custom" (reference CustomBackBone,
+    modules/_backbone.py:83-116): train two epochs with finite decreasing
+    loss, then fold + run the jitted inference decode."""
+    import copy
+
+    from audioyolo_tpu.config import Config
+    from audioyolo_tpu.infer import make_inference_fn
+    from audioyolo_tpu.models import fold_repvgg
+
+    raw = copy.deepcopy(tiny_cfg.to_dict())
+    raw["backbone"] = "custom"
+    raw["block_layers"] = [1, 1, 1, 1]
+    cfg = Config(raw)
+
+    root = str(tmp_path / "train")
+    ann = make_flat_dataset(root, n_files=4, seed=9)
+    ds = AudioDataset(root, ann, sample_duration=4, sample_rate=8000, max_targets=8)
+    loader = BatchLoader(ds, 2, shuffle=True, seed=3)
+    _, _, trainer = _build(cfg, num_classes=len(ds.class2idx))
+    state = trainer.create_state(ds[0]["audio"][None])
+    losses = []
+    for _ in range(2):
+        state, m = trainer.train(state, loader)
+        losses.append(m["aggregate_loss"])
+    assert np.isfinite(losses).all()
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    deploy = AudioDetectionModel.from_config(cfg, num_classes=len(ds.class2idx), deploy=True)
+    infer_fn = make_inference_fn(deploy, fold_repvgg(variables), 0.1, 0.01, keep_k=16)
+    dets = infer_fn(jnp.asarray(ds[0]["audio"][None]))
+    assert dets["confidence"].shape == (1, 16)
+    assert np.isfinite(np.asarray(dets["confidence"])).all()
