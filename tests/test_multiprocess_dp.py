@@ -1,0 +1,91 @@
+"""True multi-process data parallelism (SURVEY.md §2.3 / multi-host DP):
+two OS processes, each with 2 virtual CPU devices and a disjoint
+BatchLoader shard, coordinate through ``jax.distributed`` and run one
+sharded train step over the global 4-device mesh. The epoch metrics must
+match a single-process run on the equivalently-ordered global batch —
+this exercises ``jax.make_array_from_process_local_data`` in
+``TrainerPipeline._put_batch`` (a plain ``device_put`` against the global
+mesh would silently drop each host's rows)."""
+
+import copy
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from audioyolo_tpu.config import Config
+from audioyolo_tpu.data.dataset import AudioDataset
+from audioyolo_tpu.data.loader import BatchLoader
+from audioyolo_tpu.models import AudioDetectionModel
+from audioyolo_tpu.train import AudioDetectionLoss, TrainerPipeline, make_optimizer
+
+from synth import make_flat_dataset
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_dp_matches_single_process(tmp_path, tiny_cfg):
+    root = str(tmp_path / "ds")
+    ann = make_flat_dataset(root, n_files=8, seed=31)
+    with open(os.path.join(root, "ann.json"), "w") as f:
+        json.dump(ann, f)
+
+    port = _free_port()
+    out_json = str(tmp_path / "metrics.json")
+    env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    workers = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(os.path.dirname(__file__), "mp_worker.py"),
+             str(pid), "2", str(port), root, out_json],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for w in workers:
+        try:
+            out, _ = w.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for ww in workers:
+                ww.kill()
+            raise
+        outs.append(out)
+    for pid, (w, out) in enumerate(zip(workers, outs)):
+        assert w.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+    mp_metrics = json.load(open(out_json))
+
+    # single-process reference on the same global batch: shard (i, 2) of the
+    # unshuffled epoch gives host0 items [0,2,4,6], host1 [1,3,5,7]; mesh
+    # device order is [p0d0, p0d1, p1d0, p1d1], so the assembled global batch
+    # is host0's rows then host1's
+    cfg = Config(copy.deepcopy(tiny_cfg.to_dict()))
+    ds = AudioDataset(root, ann, sample_duration=4, sample_rate=8000, max_targets=8)
+    order = list(range(0, 8, 2)) + list(range(1, 8, 2))
+    batch = AudioDataset.collate([ds[i] for i in order])
+
+    tc = cfg.raw["train_config"]
+    model = AudioDetectionModel.from_config(cfg, num_classes=len(ds.class2idx))
+    loss_fn = AudioDetectionLoss(
+        cfg.raw["anchors"], len(ds.class2idx), sample_duration=cfg.sample_duration,
+        multi_label=True, label_smoothing=0.08, box_w=0.1, class_w=0.3, anchor_t=5,
+    )
+    tx = make_optimizer(tc["optimizer_config"], tc["lr_scheduler_config"], 1)
+    trainer = TrainerPipeline(model, loss_fn, tx, metrics_path="/tmp/mp_ref_m",
+                              model_path="/tmp/mp_ref_m")
+    state = trainer.create_state(ds[0]["audio"][None])
+
+    class One:
+        def __iter__(self):
+            return iter([batch])
+
+    _, ref = trainer.train(state, One())
+    for k in ("aggregate_loss", "mean_ciou", "conf_loss", "class_loss", "f1"):
+        assert mp_metrics[k] == pytest.approx(ref[k], rel=2e-3, abs=1e-4), k
