@@ -75,7 +75,9 @@ def main():
     from audioyolo_tpu.infer.decode import unpack_detections
 
     detections, ground_truth = [], []
-    loader = BatchLoader(ds, batch_size, shuffle=False, last_batch="partial")
+    transfer_dtype = cfg.raw.get("tpu_config", {}).get("transfer_dtype", "float32")
+    loader = BatchLoader(ds, batch_size, shuffle=False, last_batch="partial",
+                         transfer_dtype=transfer_dtype)
     clip = 0
     for batch in loader:
         import jax
