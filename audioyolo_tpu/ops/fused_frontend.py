@@ -101,7 +101,10 @@ class FusedFrameDFT:
             self.n_ph, self.span, self.width = 1, self.hop, 0
             self.frame_len = self.n_fft
             self.offsets = np.array([0], np.int64)
-            self.c = jnp.asarray(W.astype(np.float32))[None]  # (1, n_fft, 2F)
+            # keep host numpy: instances are lru_cached and may first be
+            # constructed inside a jit trace — a device array created there
+            # leaks as a tracer-era constant into later traces
+            self.c = W.astype(np.float32)[None]  # (1, n_fft, 2F)
         else:
             kernel, width = sinc_resample_kernel(
                 orig_freq, new_freq, lowpass_filter_width, rolloff, dtype=np.float64
@@ -141,7 +144,7 @@ class FusedFrameDFT:
             padded = np.zeros((n_ph, frame_len, W.shape[1]), np.float64)
             for r, c in enumerate(mats):
                 padded[r, : c.shape[0]] = c
-            self.c = jnp.asarray(padded.astype(np.float32))
+            self.c = padded.astype(np.float32)  # host numpy (see above)
 
         self.n_groups = self.n_frames // self.n_ph
 
@@ -206,7 +209,7 @@ class FusedFrameDFT:
         framed = framed.astype(jnp.float32)
         # one GEMM per phase: (B, G, F) @ (F, 2*n_freq)
         spec = jnp.einsum(
-            "brgf,rfk->brgk", framed, self.c,
+            "brgf,rfk->brgk", framed, jnp.asarray(self.c),
             preferred_element_type=jnp.float32,
             precision=precision,
         )
