@@ -38,28 +38,38 @@ def test_two_process_dp_matches_single_process(tmp_path, tiny_cfg):
     with open(os.path.join(root, "ann.json"), "w") as f:
         json.dump(ann, f)
 
-    port = _free_port()
     out_json = str(tmp_path / "metrics.json")
     env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
-    workers = [
-        subprocess.Popen(
-            [sys.executable, os.path.join(os.path.dirname(__file__), "mp_worker.py"),
-             str(pid), "2", str(port), root, out_json],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        )
-        for pid in range(2)
-    ]
-    outs = []
-    for w in workers:
-        try:
-            out, _ = w.communicate(timeout=600)
-        except subprocess.TimeoutExpired:
-            for ww in workers:
-                ww.kill()
-            raise
-        outs.append(out)
-    for pid, (w, out) in enumerate(zip(workers, outs)):
-        assert w.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+
+    def run_workers():
+        port = _free_port()
+        workers = [
+            subprocess.Popen(
+                [sys.executable, os.path.join(os.path.dirname(__file__), "mp_worker.py"),
+                 str(pid), "2", str(port), root, out_json],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+            for pid in range(2)
+        ]
+        outs = []
+        for w in workers:
+            try:
+                out, _ = w.communicate(timeout=1200)
+            except subprocess.TimeoutExpired:
+                for ww in workers:
+                    ww.kill()
+                    ww.communicate()
+                return ["<timeout>"] * 2, [-1] * 2
+            outs.append(out)
+        return outs, [w.returncode for w in workers]
+
+    # distributed coordination on a loaded 1-core host is timing-sensitive
+    # (both workers cold-compile while the suite runs) — allow one retry
+    outs, rcs = run_workers()
+    if any(rc != 0 for rc in rcs):
+        outs, rcs = run_workers()
+    for pid, (rc, out) in enumerate(zip(rcs, outs)):
+        assert rc == 0, f"worker {pid} failed:\n{out[-3000:]}"
     mp_metrics = json.load(open(out_json))
 
     # single-process reference on the same global batch: shard (i, 2) of the
