@@ -376,14 +376,16 @@ class SpectralFrontend:
         if audio.ndim == 4:
             if self.fused is None:
                 raise ValueError("framed input given but fused path unavailable")
-            mel_power = jnp.matmul(
+            # project to mel in phase order, THEN restore time order: the
+            # transpose moves (B, T, n_mels) instead of (B, T, n_freq)
+            mel_rg = jnp.matmul(
                 self.fused(audio, power=self.mel.power,
-                           precision=self.precision),
+                           precision=self.precision, reorder=False),
                 self.mel.mel_fb,
                 preferred_element_type=jnp.float32,
                 precision=self.precision,
             )
-            return self._images(mel_power, None)
+            return self._images(self.fused.reorder_frames(mel_rg), None)
         if audio.ndim == 3:
             audio = audio[:, 0, :]
         if jnp.issubdtype(audio.dtype, jnp.integer):

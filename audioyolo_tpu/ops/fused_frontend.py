@@ -198,9 +198,21 @@ class FusedFrameDFT:
 
     # ---- device compute ----------------------------------------------------
 
+    def reorder_frames(self, x: jax.Array) -> jax.Array:
+        """(B, n_ph, n_groups, C) phase-ordered -> (B, n_frames, C) in time
+        order (frame f = g*n_ph + r)."""
+        return jnp.swapaxes(x, 1, 2).reshape(x.shape[0], self.n_frames, x.shape[-1])
+
     def __call__(self, framed: jax.Array, power: float = 2.0,
-                 precision=jax.lax.Precision.HIGHEST) -> jax.Array:
-        """(B, n_ph, n_groups, frame_len) -> (B, n_frames, n_freq) power.
+                 precision=jax.lax.Precision.HIGHEST,
+                 reorder: bool = True) -> jax.Array:
+        """(B, n_ph, n_groups, frame_len) -> power spectrogram:
+        (B, n_frames, n_freq) when ``reorder`` (time order), else the raw
+        (B, n_ph, n_groups, n_freq) phase order. Callers that project to mel
+        first should pass ``reorder=False`` and call :meth:`reorder_frames`
+        on the (15x smaller) mel tensor — the frame permutation commutes
+        with the freq-axis contraction, and profiling showed the pre-mel
+        transpose costing 2.5 ms of pure data movement at B=256.
 
         int types are dequantized as PCM16 (x/32768) like the WAV readers.
         """
@@ -215,9 +227,8 @@ class FusedFrameDFT:
         )
         nf = self.n_freq
         p = spec[..., :nf] ** 2 + spec[..., nf:] ** 2  # (B, n_ph, G, n_freq)
-        # (B, r, g, k) -> (B, g, r, k) -> (B, n_frames, k): frame f = g*n_ph + r;
-        # minor dim untouched and n_ph is sublane-sized, so this is cheap
-        p = jnp.swapaxes(p, 1, 2).reshape(p.shape[0], self.n_frames, nf)
+        if reorder:
+            p = self.reorder_frames(p)
         if power == 2.0:
             return p
         if power == 1.0:
