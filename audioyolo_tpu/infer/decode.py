@@ -144,7 +144,7 @@ def postprocess_detections(
     b = dets["valid"].shape[0]
     for i in range(b):
         v = dets["valid"][i]
-        rows = []
+        rows, centers = [], []
         for j in np.nonzero(v)[0]:
             c, w = float(dets["center"][i, j]), float(dets["width"][i, j])
             if return_start_end:
@@ -153,6 +153,7 @@ def postprocess_detections(
                 t0, t1 = start, end
             else:
                 t0, t1 = c, w
+            centers.append(c)
             rows.append(
                 (
                     float(dets["confidence"][i, j]),
@@ -162,6 +163,9 @@ def postprocess_detections(
                     t1,
                 )
             )
-        rows.sort(key=lambda r: (r[3] + r[4]) / 2.0 if return_start_end else r[3])
+        # order by the decoded (clipped) CENTER, exactly like the reference
+        # (inference.py:95 sorts segments[:, -2]) — the start/end midpoint
+        # differs for events truncated at a clip edge
+        rows = [r for _, r in sorted(zip(centers, rows), key=lambda p: p[0])]
         out.append(rows)
     return out

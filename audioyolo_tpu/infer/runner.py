@@ -40,9 +40,18 @@ def evaluate_dir(
 
     done = 0
     if batch_windows and "input_sample_rate" in kwargs:
-        native_rate = [
-            p for p in paths if read_wav_info(p)[0] == kwargs["input_sample_rate"]
-        ]
+        # Probe headers defensively: one corrupt file must not abort the
+        # whole directory before anything is written. Unreadable files fall
+        # through to the threaded per-file path, which surfaces the error
+        # after the readable files complete.
+        native_rate = []
+        for p in paths:
+            try:
+                rate = read_wav_info(p)[0]
+            except Exception:
+                continue
+            if rate == kwargs["input_sample_rate"]:
+                native_rate.append(p)
         if len(native_rate) > 1:
             done += evaluate_files_batched(
                 infer_fn,

@@ -139,6 +139,20 @@ class FusedFrameDFT:
                     lo = (b - b_lo) * q
                     c[lo : lo + taps] += kernel[ph][:, None] * W[u][None, :]
                 mats.append(c)
+            if frame_len > self.span:
+                # frame_host's per-phase contiguous-reshape trick and the
+                # native framers (native/audio_io.cpp ayt_frame_i16 /
+                # ayt_load_batch_framed_i16) both assume windows of one phase
+                # never overlap. Integer-upsampling configs (e.g. 8k->16k with
+                # hop 1000: span 500 < frame_len ~514) violate it — the numpy
+                # path would silently truncate frames and the C path reads
+                # past its padded buffer. Refuse; SpectralFrontend catches
+                # ValueError and falls back to the standard (unfused) path.
+                raise ValueError(
+                    f"fused frontend requires frame_len <= span (non-overlapping "
+                    f"phase windows); got frame_len={frame_len} > span={self.span} "
+                    f"for {orig_freq}->{new_freq}, hop={hop}"
+                )
             self.frame_len = frame_len
             self.offsets = np.asarray(offs, np.int64)
             padded = np.zeros((n_ph, frame_len, W.shape[1]), np.float64)

@@ -14,6 +14,7 @@ all-reduce over ICI (SURVEY.md §2.3).
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 from datetime import datetime
 from typing import Any, Dict, Iterable, List, Optional
 
@@ -68,6 +69,7 @@ class TrainerPipeline:
 
         self._train_metrics: List[Dict[str, float]] = []
         self._eval_metrics: List[Dict[str, float]] = []
+        self.checkpoint_extra: Optional[Dict[str, Any]] = None
 
         self._train_step = None
         self._eval_step = None
@@ -242,6 +244,14 @@ class TrainerPipeline:
             self._log("eval", epoch_metrics)
         return epoch_metrics
 
+    def set_learning_rate(self, state: TrainState, lr: float) -> TrainState:
+        """Rewrite the plateau-injected LR hyperparameter in the optimizer
+        state (host-side; the compiled step is reused — same leaf shapes).
+        Used with ``optim.ReduceLROnPlateau`` between epochs."""
+        from .optim import set_opt_learning_rate
+
+        return state.replace(opt_state=set_opt_learning_rate(state.opt_state, lr))
+
     @staticmethod
     def _reduce(collected: List[jax.Array]) -> Dict[str, float]:
         """(n_batches, 10) metric vectors -> epoch-mean dict; a single stacked
@@ -260,7 +270,11 @@ class TrainerPipeline:
 
     # ---- checkpointing -------------------------------------------------
 
-    _packer_cache: Dict[Any, Any] = {}
+    # Bounded LRU: long-lived processes checkpointing trees of varying
+    # shapes (several models/configs in one session, test suites) would
+    # otherwise accumulate jitted packer closures + compiled programs forever.
+    _packer_cache: "OrderedDict[Any, Any]" = OrderedDict()
+    _PACKER_CACHE_MAX = 16
 
     @classmethod
     def fetch_tree(cls, tree):
@@ -276,6 +290,20 @@ class TrainerPipeline:
         groups: Dict[Any, List[int]] = {}
         for i, leaf in enumerate(leaves):
             if isinstance(leaf, jax.Array):
+                if not leaf.is_fully_addressable:
+                    # multi-host global array: training state is replicated
+                    # (P()), so any local shard holds the complete value.
+                    # Re-root on a local shard so the packer jit below is a
+                    # purely local program — jitting over the global mesh
+                    # would be a cross-process collective, deadlocking when
+                    # only the coordinator process checkpoints.
+                    if not leaf.is_fully_replicated:
+                        raise ValueError(
+                            "fetch_tree on a multi-host array that is not fully "
+                            "replicated; gather it explicitly first"
+                        )
+                    leaf = leaf.addressable_data(0)
+                    leaves[i] = leaf
                 groups.setdefault(jnp.asarray(leaf).dtype, []).append(i)
             else:
                 out[i] = leaf
@@ -286,6 +314,10 @@ class TrainerPipeline:
             if packer is None:
                 packer = jax.jit(lambda *ls: jnp.concatenate([l.ravel() for l in ls]))
                 cls._packer_cache[key] = packer
+                while len(cls._packer_cache) > cls._PACKER_CACHE_MAX:
+                    cls._packer_cache.popitem(last=False)
+            else:
+                cls._packer_cache.move_to_end(key)
             flat = np.asarray(packer(*[leaves[i] for i in idxs]))
             pos = 0
             for i, shape in zip(idxs, shapes):
@@ -296,12 +328,25 @@ class TrainerPipeline:
 
     @classmethod
     def _atomic_write(cls, path: str, payload) -> None:
+        if jax.process_index() != 0:
+            # multi-host run: state is replicated, so N hosts writing the
+            # same checkpoint to a shared filesystem would race on the temp
+            # file and redundantly fetch the full state. Only the coordinator
+            # writes; fetch_tree is collective-free (local-shard fetch), so
+            # skipping it here cannot deadlock the other processes.
+            return
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         blob = serialization.msgpack_serialize(cls.fetch_tree(payload))
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(blob)
-        os.replace(tmp, path)  # atomic: a crash never leaves a torn checkpoint
+        # pid-unique temp name: even two coordinators of unrelated runs
+        # sharing a path never clobber each other's in-flight write
+        tmp = f"{path}.tmp.{os.getpid()}"
+        try:
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, path)  # atomic: a crash never leaves a torn file
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
 
     def save_model(self, state: TrainState, path: Optional[str] = None):
         """Persist the best-model artifact; EMA params are saved as the network
@@ -323,7 +368,11 @@ class TrainerPipeline:
         return os.path.join(self.model_path, "checkpoint.msgpack")
 
     def save_checkpoint(self, state: TrainState, epoch: int, best_loss: float,
-                        path: Optional[str] = None):
+                        path: Optional[str] = None,
+                        extra: Optional[Dict[str, Any]] = None):
+        """``extra``: small host-side auxiliary state (e.g. the
+        ReduceLROnPlateau controller's counters) carried alongside the tree;
+        surfaced after ``load_checkpoint`` as ``self.checkpoint_extra``."""
         payload = {
             "params": serialization.to_state_dict(state.params),
             "batch_stats": serialization.to_state_dict(state.batch_stats),
@@ -337,6 +386,8 @@ class TrainerPipeline:
         if state.ema is not None:
             payload["ema_params"] = serialization.to_state_dict(state.ema.params)
             payload["ema_num_updates"] = int(state.ema.num_updates)
+        if extra:
+            payload["extra"] = dict(extra)
         self._atomic_write(path or self.resume_checkpoint_path, payload)
 
     def load_checkpoint(self, state: TrainState, path: Optional[str] = None):
@@ -362,6 +413,7 @@ class TrainerPipeline:
         )
         self._train_metrics = [dict(m) for m in payload.get("train_metrics", [])]
         self._eval_metrics = [dict(m) for m in payload.get("eval_metrics", [])]
+        self.checkpoint_extra = payload.get("extra")
         return new_state, int(payload.get("epoch", -1)) + 1, float(payload.get("best_loss", np.inf))
 
     def load_model(self, state: TrainState, path: Optional[str] = None) -> TrainState:
@@ -383,6 +435,8 @@ class TrainerPipeline:
     # ---- observability -------------------------------------------------
 
     def metrics_to_csv(self):
+        if jax.process_index() != 0:
+            return  # metric history is identical on every host; one writer
         import pandas as pd
 
         os.makedirs(self.metrics_path, exist_ok=True)
@@ -394,6 +448,8 @@ class TrainerPipeline:
         )
 
     def save_metrics_plots(self, figsize=(25, 10)):
+        if jax.process_index() != 0:
+            return
         for mode in ("train", "eval"):
             self._save_plot(mode, figsize)
 

@@ -1,11 +1,22 @@
 """Multi-process data-parallel worker (driven by test_multiprocess_dp.py).
 
 Each process owns 2 virtual CPU devices and a disjoint BatchLoader shard;
-together they run ONE sharded train step over the global mesh — the real
+together they run sharded train steps over the global mesh — the real
 multi-host path (jax.distributed + make_array_from_process_local_data), not
-the single-process virtual-mesh approximation the other DP tests use.
+the single-process virtual-mesh approximation the other DP tests use. The
+run covers a full epoch, a cross-process checkpoint (coordinator-only write
+to a SHARED model_path), a resume from that checkpoint on every process, and
+a second epoch on the restored state.
+
+Flakiness control (1-core host): the gloo rendezvous inside the first
+sharded step has a hard ~30 s key-value timeout, so if one worker is still
+cold-compiling when the other starts executing, the run dies. We therefore
+AOT-compile the train step (local, no collectives) with the persistent
+compile cache enabled, then meet at a coordination-service barrier with a
+15-minute budget before the first collective executes.
 
 Usage: python mp_worker.py <pid> <nprocs> <port> <dataset_root> <out_json>
+       <shared_model_dir>
 """
 
 import json
@@ -13,7 +24,7 @@ import os
 import sys
 
 pid, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
-root, out_path = sys.argv[4], sys.argv[5]
+root, out_path, model_dir = sys.argv[4], sys.argv[5], sys.argv[6]
 
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -21,7 +32,16 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.distributed.initialize(f"localhost:{port}", num_processes=nprocs, process_id=pid)
+_cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "audioyolo_jax_test_cache")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.distributed.initialize(
+    f"localhost:{port}", num_processes=nprocs, process_id=pid,
+    initialization_timeout=600,
+)
+_client = jax._src.distributed.global_state.client
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -62,13 +82,36 @@ mesh = make_mesh()  # all 4 global devices
 assert mesh.devices.size == 2 * nprocs
 trainer = TrainerPipeline(
     model, loss_fn, tx, mesh=mesh,
-    metrics_path=f"/tmp/mp_metrics_{pid}", model_path=f"/tmp/mp_model_{pid}",
+    metrics_path=os.path.join(model_dir, "metrics"), model_path=model_dir,
 )
 
 state = trainer.create_state(ds[0]["audio"][None])
-state, metrics = trainer.train(state, loader)
 
-if pid == 0:
-    with open(out_path, "w") as f:
-        json.dump(metrics, f)
-print(f"worker {pid}: OK loss={metrics['aggregate_loss']:.6f}", flush=True)
+# AOT-compile the sharded step before any collective executes (compilation is
+# per-process local; only execution rendezvouses through gloo), then barrier
+# so both workers enter the first step within milliseconds of each other.
+trainer._build_steps()
+peek = trainer._put_batch(next(iter(loader)))
+trainer._train_step.lower(state, *peek).compile()
+_client.wait_at_barrier("ayt_compiled", timeout_in_ms=900_000)
+
+state, m1 = trainer.train(state, loader)
+
+# cross-process checkpoint to the SHARED model dir: the process-0 guard in
+# _atomic_write means exactly one writer; fetch_tree is collective-free
+trainer.save_checkpoint(state, epoch=0, best_loss=m1["aggregate_loss"])
+ckpt = trainer.resume_checkpoint_path
+if pid != 0:
+    assert not os.path.exists(ckpt + f".tmp.{os.getpid()}"), "non-coordinator wrote"
+_client.wait_at_barrier("ayt_ckpt_saved", timeout_in_ms=900_000)
+assert os.path.exists(ckpt), "coordinator checkpoint missing"
+stray = [p for p in os.listdir(model_dir) if ".tmp" in p]
+assert not stray, f"torn/racy temp files: {stray}"
+
+state, next_epoch, best = trainer.load_checkpoint(state)
+assert next_epoch == 1
+state, m2 = trainer.train(state, loader)
+
+with open(f"{out_path}.{pid}", "w") as f:
+    json.dump({"epoch1": m1, "epoch2": m2, "best": best}, f)
+print(f"worker {pid}: OK loss={m2['aggregate_loss']:.6f}", flush=True)

@@ -167,3 +167,27 @@ def test_fused_gate_falls_back(tiny_cfg):
     raw2 = copy.deepcopy(tiny_cfg.to_dict())
     raw2["mfcc_config"]["melkwargs"]["win_length"] = 100
     assert SpectralFrontend(Config(raw2)).fused is None
+
+
+def test_fused_rejects_overlapping_phase_windows(tiny_cfg):
+    """Integer-upsampling configs where frame_len > span would make the
+    host/native framers read overlapping (or out-of-bounds) windows; the
+    constructor must refuse so SpectralFrontend falls back to the standard
+    path instead of producing garbage (advisor round-2 finding)."""
+    import copy
+
+    from audioyolo_tpu.ops.fused_frontend import FusedFrameDFT
+
+    with pytest.raises(ValueError, match="frame_len"):
+        FusedFrameDFT(8000, 16000, 1000, 1000, 1000, 16)
+
+    # the gate in SpectralFrontend catches it: fused path off, waveform
+    # input still works end to end through the standard chain
+    raw = copy.deepcopy(tiny_cfg.to_dict())
+    raw["sample_rate"] = 8000
+    raw["new_sample_rate"] = 16000
+    fe = SpectralFrontend(Config(raw))
+    assert fe.fused is None
+    wav = np.zeros((1, raw["sample_duration"] * 8000), np.float32)
+    out = np.asarray(fe(jnp.asarray(wav)))
+    assert np.isfinite(out).all()

@@ -115,3 +115,89 @@ def test_schedule_is_epoch_stepped():
     assert float(sched(jnp.asarray(0))) == 1.0
     assert float(sched(jnp.asarray(3))) == 1.0  # still epoch 0
     assert float(sched(jnp.asarray(4))) == 0.5  # epoch 1
+
+
+ASGD_RPROP_CASES = [
+    ("ASGD", {"lr": 0.05, "lambd": 1e-4, "alpha": 0.75, "t0": 1e6, "weight_decay": 0.01}),
+    ("ASGD", {"lr": 0.5, "lambd": 0.05, "alpha": 0.75, "t0": 1e6}),  # eta decay visible
+    ("Rprop", {"lr": 0.01, "etas": (0.5, 1.2), "step_sizes": (1e-6, 50.0)}),
+    ("Rprop", {"lr": 0.1, "etas": (0.4, 1.5), "step_sizes": (1e-4, 1.0)}),
+]
+
+
+@pytest.mark.parametrize("name,kwargs", ASGD_RPROP_CASES,
+                         ids=[f"{c[0]}-{i}" for i, c in enumerate(ASGD_RPROP_CASES)])
+def test_asgd_rprop_match_torch(name, kwargs):
+    # 12 steps: long enough for Rprop sign flips and visible ASGD eta decay
+    ours = _run_optax({"name": name, **kwargs}, 12, W0, GRAD)
+    theirs = _run_torch(name, kwargs, 12, W0, GRAD)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-6)
+
+
+def test_rprop_rejects_weight_decay():
+    with pytest.raises(ValueError, match="weight_decay"):
+        make_optimizer({"name": "Rprop", "lr": 0.01, "weight_decay": 0.1}, None, 1)
+
+
+PLATEAU_CASES = [
+    {"mode": "min", "factor": 0.5, "patience": 2, "threshold": 1e-4,
+     "threshold_mode": "rel", "cooldown": 0, "min_lr": 0.0},
+    {"mode": "min", "factor": 0.1, "patience": 1, "threshold": 0.05,
+     "threshold_mode": "abs", "cooldown": 2, "min_lr": 1e-4},
+    {"mode": "max", "factor": 0.5, "patience": 0, "threshold": 1e-2,
+     "threshold_mode": "rel", "cooldown": 1, "min_lr": 0.0},
+]
+
+
+@pytest.mark.parametrize("kwargs", PLATEAU_CASES,
+                         ids=["min-rel", "min-abs-cooldown", "max-rel"])
+def test_reduce_lr_on_plateau_matches_torch(kwargs):
+    """LR trajectory over a noisy plateauing metric must track
+    torch.optim.lr_scheduler.ReduceLROnPlateau decision-for-decision."""
+    from audioyolo_tpu.train.optim import ReduceLROnPlateau
+
+    rng = np.random.default_rng(7)
+    base = 3.0 - 2.0 * (1 - np.exp(-np.arange(40) / 5.0))  # decays then flat
+    metrics = base + rng.normal(0, 0.02, size=40)
+    if kwargs["mode"] == "max":
+        metrics = -metrics
+
+    w = torch.zeros(1, requires_grad=True)
+    opt = torch.optim.SGD([w], lr=0.1)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(opt, **kwargs)
+    ours = ReduceLROnPlateau(0.1, **kwargs)
+    for m in metrics:
+        sched.step(float(m))
+        got = ours.step(float(m))
+        assert got == pytest.approx(opt.param_groups[0]["lr"], rel=1e-12), m
+
+
+def test_plateau_injected_lr_drives_updates():
+    """make_optimizer with a ReduceLROnPlateau scheduler config must expose a
+    rewritable learning_rate leaf in the optimizer state that actually scales
+    the next update."""
+    from audioyolo_tpu.train.optim import set_opt_learning_rate
+
+    tx = make_optimizer(
+        {"name": "SGD", "lr": 0.5},
+        {"name": "ReduceLROnPlateau", "factor": 0.5, "patience": 0}, 1,
+    )
+    w = jnp.asarray(W0)
+    state = tx.init(w)
+    u1, state = tx.update(jnp.ones_like(w), state, w)
+    np.testing.assert_allclose(np.asarray(u1), -0.5, rtol=1e-6)
+    state = set_opt_learning_rate(state, 0.05)
+    u2, state = tx.update(jnp.ones_like(w), state, w)
+    np.testing.assert_allclose(np.asarray(u2), -0.05, rtol=1e-6)
+
+
+def test_plateau_state_dict_roundtrip():
+    from audioyolo_tpu.train.optim import ReduceLROnPlateau
+
+    a = ReduceLROnPlateau(0.1, patience=1)
+    for m in (1.0, 1.0, 1.0):
+        a.step(m)
+    b = ReduceLROnPlateau(0.1, patience=1)
+    b.load_state_dict(a.state_dict())
+    for m in (1.0, 1.0, 1.0, 1.0):
+        assert a.step(m) == b.step(m)

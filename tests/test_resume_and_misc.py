@@ -164,3 +164,33 @@ def test_fetch_tree_packed_matches_per_leaf():
     for g, r in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
         assert not isinstance(g, jax.Array)  # everything landed on host
+
+
+def test_nonzero_process_index_skips_writes(tmp_path, monkeypatch):
+    """Multi-host write hygiene: only the coordinator (process 0) writes
+    checkpoints/CSVs/plots — everyone else must return before touching the
+    filesystem OR fetching state through the tunnel."""
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    target = str(tmp_path / "ckpt" / "model.msgpack")
+    TrainerPipeline._atomic_write(target, {"w": jnp.ones(3)})
+    assert not os.path.exists(os.path.dirname(target))
+
+    t = TrainerPipeline(None, None, None, metrics_path=str(tmp_path / "metrics"))
+    t._train_metrics = [{"aggregate_loss": 1.0}]
+    t.metrics_to_csv()
+    t.save_metrics_plots()
+    assert not os.path.exists(str(tmp_path / "metrics"))
+
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    TrainerPipeline._atomic_write(target, {"w": jnp.ones(3)})
+    assert os.path.exists(target)
+    assert not [p for p in os.listdir(os.path.dirname(target)) if ".tmp" in p]
+
+
+def test_packer_cache_is_bounded():
+    """The jitted packer cache must evict: unbounded growth leaks compiled
+    programs in long-lived multi-config processes (advisor round-2 finding)."""
+    TrainerPipeline._packer_cache.clear()
+    for n in range(1, TrainerPipeline._PACKER_CACHE_MAX + 5):
+        TrainerPipeline.fetch_tree({"x": jnp.zeros(n, jnp.float32)})
+    assert len(TrainerPipeline._packer_cache) == TrainerPipeline._PACKER_CACHE_MAX

@@ -103,3 +103,72 @@ def test_branch_act_changes_logits(tmp_path, tiny_cfg):
     ref = fmodel_ref.apply(variables, features=feats, train=False, combine_scales=True)
     plain = fmodel_plain.apply(variables, features=feats, train=False, combine_scales=True)
     assert np.abs(np.asarray(ref) - np.asarray(plain)).max() > 1e-3
+
+
+def _event_parity(tmp_path, raw_cfg, seed, conf_threshold=0.25, iou_threshold=0.1):
+    """Event lists (conf, class, start, end) from the reference's
+    process_model_outputs (torch_ref.process_model_outputs_ref, a faithful
+    re-implementation of ``inference.py:42-110`` with torchvision batched-NMS
+    keep order) must match our jitted decode+NMS+compaction row for row, on
+    identical decoded predictions through an imported checkpoint."""
+    from torch_ref import process_model_outputs_ref
+    from audioyolo_tpu.infer.decode import (
+        detection_postprocess_graph,
+        postprocess_detections,
+    )
+
+    tmodel, fmodel, variables, (n_mels, n_frames) = _roundtrip(
+        tmp_path, raw_cfg, seed=seed
+    )
+    rng = np.random.default_rng(seed + 100)
+    feats = rng.standard_normal((3, 2, n_mels, n_frames)).astype(np.float32)
+    dur = float(raw_cfg["sample_duration"])
+
+    with torch.no_grad():
+        t_out = tmodel(torch.from_numpy(feats), combine_scales=True)
+    ref_events = process_model_outputs_ref(
+        t_out, iou_threshold=iou_threshold, conf_threshold=conf_threshold,
+        sample_duration=dur,
+    )
+
+    f_feats = jnp.asarray(np.transpose(feats, (0, 2, 3, 1)))
+    preds = fmodel.apply(variables, features=f_feats, train=False,
+                         combine_scales=True)
+    k = preds.shape[1]
+    dets = jax.jit(
+        lambda p: detection_postprocess_graph(
+            p, iou_threshold, conf_threshold, dur, keep_k=k
+        )
+    )(preds)
+    ours = postprocess_detections(
+        {kk: np.asarray(v) for kk, v in dets.items()}, dur
+    )
+
+    assert sum(len(r) for r in ref_events) > 0, "degenerate test: no events"
+    for b, (ref_rows, our_rows) in enumerate(zip(ref_events, ours)):
+        assert len(ref_rows) == len(our_rows), (
+            f"clip {b}: {len(ref_rows)} reference events vs {len(our_rows)} ours"
+        )
+        for r, o in zip(ref_rows, our_rows):
+            assert o[0] == pytest.approx(r[0], abs=2e-4)  # confidence
+            # our pipeline reports sigmoid(obj); reference rows carry the logit
+            assert o[1] == pytest.approx(1 / (1 + np.exp(-r[1])), abs=2e-4)
+            assert o[2] == r[2]  # class index
+            assert o[3] == pytest.approx(r[3], abs=1e-3)  # start
+            assert o[4] == pytest.approx(r[4], abs=1e-3)  # end
+
+
+def test_event_parity_resnet_basicblock(tmp_path, tiny_cfg):
+    _event_parity(tmp_path, tiny_cfg.to_dict(), seed=11)
+
+
+def test_event_parity_resnet_bottleneck(tmp_path, tiny_cfg):
+    raw = tiny_cfg.to_dict()
+    raw["resnet_config"] = {"block": "Bottleneck"}
+    _event_parity(tmp_path, raw, seed=12)
+
+
+def test_event_parity_custom_backbone(tmp_path, tiny_cfg):
+    raw = tiny_cfg.to_dict()
+    raw["backbone"] = "custom"
+    _event_parity(tmp_path, raw, seed=13)

@@ -13,6 +13,7 @@ test feeds precomputed spectral features), so no torchaudio import is needed.
 
 from typing import Iterable, List, Optional, Tuple
 
+import numpy as np
 import torch
 import torch.nn as nn
 import torch.nn.functional as F
@@ -408,3 +409,78 @@ def randomize_(model: nn.Module, seed: int = 0) -> None:
                 continue  # keep the config anchor values
             else:
                 t.copy_(torch.randn(t.shape, generator=g) * 0.1)
+
+
+# ---- reference event post-processing oracle --------------------------------
+
+
+def _nms_interval(x1, x2, scores, iou_threshold):
+    """torchvision.ops.nms keep order for equal-height pseudo-boxes: kept
+    indices in descending score order; a box is suppressed iff IoU with an
+    already-kept higher-scored box is strictly > threshold."""
+    order = np.argsort(-scores, kind="stable")
+    suppressed = np.zeros(len(scores), bool)
+    keep = []
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        inter = np.maximum(
+            0.0, np.minimum(x2[i], x2) - np.maximum(x1[i], x1)
+        )
+        union = (x2[i] - x1[i]) + (x2 - x1) - inter
+        iou = inter / np.maximum(union, 1e-12)
+        suppressed |= iou > iou_threshold
+    return np.asarray(keep, np.int64)
+
+
+def process_model_outputs_ref(
+    outputs,
+    iou_threshold: float = 0.1,
+    conf_threshold: float = 0.2,
+    sample_duration: float = 60.0,
+    return_start_end: bool = True,
+):
+    """Faithful numpy re-implementation of the reference's
+    ``process_model_outputs`` (``inference.py:42-110``): per-clip batched NMS
+    on (center,width) intervals lifted to equal-height boxes, a confidence
+    filter AFTER suppression, then per-clip center-ordered event rows.
+
+    ``outputs``: (B, K, 3+C) decoded predictions
+    ``[obj_logit, class_logits..., center_sec, width_sec]``.
+    Returns a list (len B) of rows ``(confidence, obj_logit, class_idx,
+    start, end)`` — start/end already clipped to [0, sample_duration].
+    """
+    out = np.asarray(outputs.detach() if hasattr(outputs, "detach") else outputs,
+                     np.float64)
+    assert out.ndim == 3
+    c = out[..., -2]
+    w = out[..., -1]
+    x1 = np.clip(c - w / 2.0, 0.0, sample_duration)
+    x2 = np.clip(c + w / 2.0, 0.0, sample_duration)
+    obj = 1.0 / (1.0 + np.exp(-out[..., 0]))
+    logits = out[..., 1:-2]
+    e = np.exp(logits - logits.max(axis=-1, keepdims=True))
+    cls = e / e.sum(axis=-1, keepdims=True)
+    conf = obj * cls.max(axis=-1)
+
+    events = []
+    for b in range(out.shape[0]):
+        keep = _nms_interval(x1[b], x2[b], conf[b], iou_threshold)
+        keep = keep[conf[b][keep] > conf_threshold]
+        # reference sorts surviving segments by (already clipped in the
+        # decode) center before emitting rows (inference.py:93-96)
+        keep = keep[np.argsort(c[b][keep], kind="stable")]
+        rows = []
+        for j in keep:
+            if return_start_end:
+                t0 = float(np.clip(c[b, j] - w[b, j] / 2.0, 0.0, sample_duration))
+                t1 = float(np.clip((c[b, j] - w[b, j] / 2.0) + w[b, j], 0.0, sample_duration))
+            else:
+                t0, t1 = float(c[b, j]), float(w[b, j])
+            rows.append((
+                float(conf[b, j]), float(out[b, j, 0]),
+                int(np.argmax(out[b, j, 1:-2])), t0, t1,
+            ))
+        events.append(rows)
+    return events

@@ -81,7 +81,10 @@ def run(cfg, data_parallel: bool = False, resume: bool = False):
     max_targets = int(tpu_cfg.get("max_targets", 48))
 
     train_ds, eval_ds = resolve_datasets(cfg, max_targets)
-    AudioDataset.save_label_map(train_ds.class2idx, tc["class_map_path"])
+    import jax
+
+    if jax.process_index() == 0:  # one writer on a shared filesystem
+        AudioDataset.save_label_map(train_ds.class2idx, tc["class_map_path"])
     num_classes = len(train_ds.class2idx)
 
     batch_size = int(tc["batch_size"])
@@ -98,8 +101,6 @@ def run(cfg, data_parallel: bool = False, resume: bool = False):
             frame_fn, framer = _fe.frame_host, _fe.fused
     # multi-host DP: each host loads a disjoint 1/process_count slice of the
     # globally-shuffled epoch (equal lengths — lockstep collectives)
-    import jax
-
     shard = None
     if data_parallel and jax.process_count() > 1:
         shard = (jax.process_index(), jax.process_count())
@@ -143,6 +144,18 @@ def run(cfg, data_parallel: bool = False, resume: bool = False):
         steps_per_epoch=len(train_loader),
         use_lr_scheduler=bool(tc.get("use_lr_scheduler", True)),
     )
+    # metric-driven LR (torch ReduceLROnPlateau semantics): host-side
+    # controller fed the epoch eval loss; rewrites the injected LR leaf in
+    # the optimizer state between epochs — no recompilation
+    plateau = None
+    sched_cfg = tc.get("lr_scheduler_config") or {}
+    if (bool(tc.get("use_lr_scheduler", True))
+            and sched_cfg.get("name") == "ReduceLROnPlateau"):
+        from audioyolo_tpu.train import ReduceLROnPlateau
+
+        plateau = ReduceLROnPlateau.from_config(
+            sched_cfg, float(tc["optimizer_config"].get("lr", 1e-3))
+        )
 
     mesh = make_mesh() if data_parallel else None
     trainer = TrainerPipeline(
@@ -164,6 +177,8 @@ def run(cfg, data_parallel: bool = False, resume: bool = False):
     start_epoch = 0
     if resume and os.path.exists(trainer.resume_checkpoint_path):
         state, start_epoch, best_loss = trainer.load_checkpoint(state)
+        if plateau is not None and (trainer.checkpoint_extra or {}).get("plateau"):
+            plateau.load_state_dict(trainer.checkpoint_extra["plateau"])
         print(
             f"[{datetime.now():%Y-%m-%d %H:%M:%S}] Resumed from epoch {start_epoch} "
             f"(best eval loss {best_loss:.4f})"
@@ -184,8 +199,11 @@ def run(cfg, data_parallel: bool = False, resume: bool = False):
                 f"[{datetime.now():%Y-%m-%d %H:%M:%S}] Model saved at epoch: "
                 f"{epoch + 1} loss: {best_loss}"
             )
+        if plateau is not None:
+            state = trainer.set_learning_rate(state, plateau.step(eval_loss))
         if epoch % ckpt_every == 0 or epoch == last_epoch:
-            trainer.save_checkpoint(state, epoch, best_loss)
+            extra = {"plateau": plateau.state_dict()} if plateau is not None else None
+            trainer.save_checkpoint(state, epoch, best_loss, extra=extra)
     trainer.metrics_to_csv()
     trainer.save_metrics_plots(figsize=(25, 10))
 
