@@ -131,6 +131,42 @@ def make_inference_fn(
     return infer
 
 
+def make_multi_inference_fn(
+    model,
+    variables: Dict[str, Any],
+    n_batches: int,
+    iou_threshold: float = 0.1,
+    conf_threshold: float = 0.2,
+    keep_k: int = 128,
+    packed: bool = False,
+):
+    """Like :func:`make_inference_fn`, but one compiled program runs
+    ``n_batches`` full forward+decode passes per host dispatch.
+
+    Host dispatch through a remote-tunnelled runtime costs ~2-3 ms per
+    jitted call on a 1-core host (measured: 17.6 ms wall vs 14.5 ms device
+    at B=256); unrolling N batches into a single program amortizes it N-fold
+    without growing the per-batch memory footprint the way a bigger batch
+    would. Batches stay separate device buffers (no stacking copies).
+
+    Returns ``fn(audios: sequence of N arrays) -> tuple of N outputs``.
+    """
+    duration = float(model.cfg.sample_duration)
+
+    def infer_impl(*audios):
+        outs = []
+        for a in audios:
+            preds = model.apply(variables, a, train=False, combine_scales=True)
+            dets = detection_postprocess_graph(
+                preds, iou_threshold, conf_threshold, duration, keep_k
+            )
+            outs.append(pack_detections(dets) if packed else dets)
+        return tuple(outs)
+
+    jitted = jax.jit(infer_impl)
+    return lambda audios: jitted(*audios)
+
+
 def postprocess_detections(
     dets: Dict[str, np.ndarray],
     sample_duration: float,

@@ -54,6 +54,7 @@ class TrainerPipeline:
         mesh: Optional[Mesh] = None,
         data_axis: str = "data",
         seed: int = 42,
+        steps_per_dispatch: int = 1,
     ):
         self.model = model
         self.loss_fn = loss_fn
@@ -70,8 +71,16 @@ class TrainerPipeline:
         self._train_metrics: List[Dict[str, float]] = []
         self._eval_metrics: List[Dict[str, float]] = []
         self.checkpoint_extra: Optional[Dict[str, Any]] = None
+        # Host dispatch through a remote runtime costs ~3 ms per jitted call
+        # on a 1-core host (measured: 9.8 ms wall vs 6.7 ms device at B=32);
+        # unrolling S sequential optimizer steps into ONE compiled program
+        # amortizes it S-fold. Semantics identical to S separate steps
+        # (tested); epochs whose batch count is not a multiple of S run the
+        # remainder through the single-step path.
+        self.steps_per_dispatch = max(int(steps_per_dispatch), 1)
 
         self._train_step = None
+        self._train_multi = None
         self._eval_step = None
 
     # ---- state ---------------------------------------------------------
@@ -158,6 +167,18 @@ class TrainerPipeline:
             _, metrics = loss_fn(preds, targets)
             return metrics_vector(metrics)
 
+        s = self.steps_per_dispatch
+
+        def train_multi(state, *flat):
+            # S sequential optimizer steps in one compiled program (one host
+            # dispatch); batches arrive as S separate device buffers, so no
+            # host- or device-side stacking copy is ever made
+            ms = []
+            for i in range(s):
+                state, m = train_step(state, flat[2 * i], flat[2 * i + 1])
+                ms.append(m)
+            return state, jnp.stack(ms)  # (S, 10)
+
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
             data = NamedSharding(self.mesh, P(self.data_axis))
@@ -170,9 +191,18 @@ class TrainerPipeline:
             self._eval_step = jax.jit(
                 eval_step, in_shardings=(repl, data, data), out_shardings=repl
             )
+            if s > 1:
+                self._train_multi = jax.jit(
+                    train_multi,
+                    in_shardings=(repl,) + (data,) * (2 * s),
+                    out_shardings=(repl, repl),
+                    donate_argnums=(0,),
+                )
         else:
             self._train_step = jax.jit(train_step, donate_argnums=(0,))
             self._eval_step = jax.jit(eval_step)
+            if s > 1:
+                self._train_multi = jax.jit(train_multi, donate_argnums=(0,))
 
     def _put_batch(self, batch: Dict[str, np.ndarray]):
         """Explicit async host->device transfer. Never hand numpy straight to
@@ -223,7 +253,20 @@ class TrainerPipeline:
         if self._train_step is None:
             self._build_steps()
         collected: List[jax.Array] = []
+        s = self.steps_per_dispatch
+        pending: List[Any] = []
         for audio, targets in self._device_prefetch(loader):
+            if s > 1:
+                pending.append((audio, targets))
+                if len(pending) == s:
+                    flat = [x for ab in pending for x in ab]
+                    state, ms = self._train_multi(state, *flat)
+                    collected.append(ms)  # (S, 10)
+                    pending = []
+            else:
+                state, metrics = self._train_step(state, audio, targets)
+                collected.append(metrics)
+        for audio, targets in pending:  # epoch tail shorter than S
             state, metrics = self._train_step(state, audio, targets)
             collected.append(metrics)
         epoch_metrics = self._reduce(collected)
@@ -258,7 +301,8 @@ class TrainerPipeline:
         device array means exactly one device->host fetch per epoch."""
         if not collected:
             return {k: float("nan") for k in METRIC_KEYS}
-        arr = np.asarray(jnp.stack(collected), dtype=np.float64)
+        rows = [m if m.ndim == 2 else m[None] for m in collected]  # multi-step
+        arr = np.asarray(jnp.concatenate(rows, axis=0), dtype=np.float64)
         means = arr.mean(axis=0)
         return {k: float(means[i]) for i, k in enumerate(METRIC_KEYS)}
 

@@ -62,6 +62,32 @@ def test_fold_full_model_equivalence(trained):
     )
 
 
+def test_multi_inference_matches_single(trained):
+    """make_multi_inference_fn (N forward+decode passes fused into one
+    dispatch) must return exactly what N make_inference_fn calls return."""
+    from audioyolo_tpu.infer.decode import make_multi_inference_fn
+
+    cfg, model, variables, class2idx = trained
+    folded = fold_repvgg(variables)
+    deploy = AudioDetectionModel.from_config(cfg, num_classes=len(class2idx), deploy=True)
+    single = make_inference_fn(deploy, folded, iou_threshold=0.1, conf_threshold=0.05,
+                               keep_k=16, packed=True)
+    multi = make_multi_inference_fn(deploy, folded, n_batches=3, iou_threshold=0.1,
+                                    conf_threshold=0.05, keep_k=16, packed=True)
+
+    batches = [
+        jnp.asarray(np.stack([
+            synth_clip(8000, 4.0, [(0.5 + 0.3 * j, 1.5 + 0.3 * j, "tone")], seed=10 * i + j)
+            for j in range(2)
+        ])[:, None, :])
+        for i in range(3)
+    ]
+    outs = multi(batches)
+    assert len(outs) == 3
+    for b, o in zip(batches, outs):
+        np.testing.assert_allclose(np.asarray(single(b)), np.asarray(o), rtol=1e-5, atol=1e-6)
+
+
 def test_streaming_long_file(trained, tmp_path):
     cfg, model, variables, class2idx = trained
     idx2class = {v: k for k, v in class2idx.items()}

@@ -17,7 +17,7 @@ from audioyolo_tpu.train import AudioDetectionLoss, TrainerPipeline, make_optimi
 from synth import make_flat_dataset
 
 
-def _build(tiny_cfg, num_classes, mesh=None, steps_per_epoch=3):
+def _build(tiny_cfg, num_classes, mesh=None, steps_per_epoch=3, **trainer_kwargs):
     model = AudioDetectionModel.from_config(tiny_cfg, num_classes=num_classes)
     tc = tiny_cfg.raw["train_config"]
     loss_fn = AudioDetectionLoss(
@@ -35,9 +35,69 @@ def _build(tiny_cfg, num_classes, mesh=None, steps_per_epoch=3):
     tx = make_optimizer(tc["optimizer_config"], tc["lr_scheduler_config"], steps_per_epoch)
     trainer = TrainerPipeline(
         model, loss_fn, tx, model_path="/tmp/ignore_model", metrics_path="/tmp/ignore_metrics",
-        mesh=mesh,
+        mesh=mesh, **trainer_kwargs,
     )
     return model, loss_fn, trainer
+
+
+def test_steps_per_dispatch_matches_single(tmp_path, tiny_cfg):
+    """S optimizer steps fused into one compiled dispatch must be bit-for-bit
+    the same sequence of updates as S separate dispatches — including the
+    epoch tail shorter than S (5 batches at S=2 -> 2 fused + 1 single)."""
+    root = str(tmp_path / "train")
+    ann = make_flat_dataset(root, n_files=10, seed=11)
+    ds = AudioDataset(root, ann, sample_duration=4, sample_rate=8000, max_targets=8)
+    nc = len(ds.class2idx)
+    loader = BatchLoader(ds, batch_size=2, shuffle=False)
+    assert len(loader) == 5
+
+    _, _, t1 = _build(tiny_cfg, nc)
+    _, _, t2 = _build(tiny_cfg, nc, steps_per_dispatch=2)
+
+    s1 = t1.create_state(ds[0]["audio"][None])
+    s2 = t2.create_state(ds[0]["audio"][None])
+
+    s1, m1 = t1.train(s1, loader)
+    s2, m2 = t2.train(s2, loader)
+
+    for k in m1:
+        assert m1[k] == pytest.approx(m2[k], rel=2e-4, abs=1e-6), k
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)):
+        diff = np.abs(np.asarray(a) - np.asarray(b)).ravel()
+        # The fused program is a different XLA compilation: fp reduction-order
+        # noise can flip the sign of a near-zero gradient, and Adam's update
+        # is +-lr regardless of magnitude — same tolerance pattern as
+        # test_data_parallel_matches_single_device.
+        assert (diff > 1e-4).mean() < 1e-3, diff.max()
+        assert diff.max() < 6e-3  # bounded by ~lr per step, 5 steps
+    assert int(s1.step) == int(s2.step) == 5
+
+
+def test_steps_per_dispatch_matches_single_sharded(tmp_path, tiny_cfg):
+    """Same equivalence under the 8-device data-parallel mesh path."""
+    root = str(tmp_path / "train")
+    ann = make_flat_dataset(root, n_files=8, seed=12)
+    ds = AudioDataset(root, ann, sample_duration=4, sample_rate=8000, max_targets=8)
+    nc = len(ds.class2idx)
+    b1 = AudioDataset.collate([ds[i] for i in range(8)])
+    b2 = AudioDataset.collate([ds[(i + 3) % 8] for i in range(8)])
+
+    _, _, t1 = _build(tiny_cfg, nc, mesh=make_mesh(8))
+    _, _, t2 = _build(tiny_cfg, nc, mesh=make_mesh(8), steps_per_dispatch=2)
+
+    s1 = t1.create_state(ds[0]["audio"][None])
+    s2 = t2.create_state(ds[0]["audio"][None])
+
+    class TwoBatches:
+        def __iter__(self):
+            return iter([b1, b2])
+
+    s1, m1 = t1.train(s1, TwoBatches())
+    s2, m2 = t2.train(s2, TwoBatches())
+
+    assert m1["aggregate_loss"] == pytest.approx(m2["aggregate_loss"], rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
 
 def test_training_decreases_loss(tmp_path, tiny_cfg):
