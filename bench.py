@@ -49,8 +49,9 @@ def _emit(metric, value, unit, vs=None):
     }))
 
 
-def _build_infer(cfg, block=None, layers=None, keep_k=128, packed=False):
+def _build_infer(cfg, block=None, layers=None, keep_k=128, packed=False, n_dispatch=1):
     from audioyolo_tpu.infer import make_inference_fn
+    from audioyolo_tpu.infer.decode import make_multi_inference_fn
     from audioyolo_tpu.models import AudioDetectionModel, fold_repvgg
     from audioyolo_tpu.ops.frontend import SpectralFrontend
 
@@ -72,7 +73,17 @@ def _build_infer(cfg, block=None, layers=None, keep_k=128, packed=False):
     deploy = AudioDetectionModel.from_config(
         raw, num_classes=NUM_CLASSES, deploy=True, dtype=jnp.bfloat16
     )
-    infer_fn = make_inference_fn(deploy, variables, 0.1, 0.2, keep_k, packed=packed)
+    if n_dispatch > 1:
+        # N forward+decode passes fused into ONE compiled dispatch: host
+        # dispatch through the remote runtime costs ~3 ms/call (measured:
+        # 17.7 ms wall vs 14.5 ms device at B=256), which N=4 amortizes —
+        # 866k -> 1,015k audio-s/s. Offline serving pipelines batch files
+        # anyway, so shipping 4 batches per call is the production posture.
+        infer_fn = make_multi_inference_fn(
+            deploy, variables, n_dispatch, 0.1, 0.2, keep_k, packed=packed
+        )
+    else:
+        infer_fn = make_inference_fn(deploy, variables, 0.1, 0.2, keep_k, packed=packed)
     fe = SpectralFrontend(cfg)
     frame_fn = fe.frame_host if fe.fused is not None else None
     return infer_fn, frame_fn, raw
@@ -101,9 +112,13 @@ def _bench_input(cfg, frame_fn, batch, seed):
     return jax.device_put(jnp.asarray(audio))
 
 
-def bench_batched(cfg, infer_fn, frame_fn, batch=BATCH_INFER):
-    audio = _bench_input(cfg, frame_fn, batch, 0)
-    dt = _steady_state(infer_fn, audio)
+def bench_batched(cfg, infer_fn, frame_fn, batch=BATCH_INFER, n_dispatch=1):
+    if n_dispatch > 1:
+        batches = [_bench_input(cfg, frame_fn, batch, i) for i in range(n_dispatch)]
+        dt = _steady_state(infer_fn, batches) / n_dispatch
+    else:
+        audio = _bench_input(cfg, frame_fn, batch, 0)
+        dt = _steady_state(infer_fn, audio)
     return batch * float(cfg.sample_duration) / dt
 
 
@@ -131,10 +146,15 @@ def bench_streaming(cfg, infer_fn, frame_fn, tmpdir="/tmp/bench_stream"):
         frame_fn=frame_fn,
     )
     evaluate_audio(infer_fn, path, tmpdir, **kwargs)  # warm compile + page cache
-    t0 = time.perf_counter()
-    evaluate_audio(infer_fn, path, tmpdir, **kwargs)
-    dt = time.perf_counter() - t0
-    return minutes * 60 / dt
+    # median-of-3: the tunnelled host->device pipe has 2-3x weather-dependent
+    # throughput variance (docs/PERFORMANCE.md), and streaming is the one
+    # transfer-bound config — a single run is not comparable across rounds
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        evaluate_audio(infer_fn, path, tmpdir, **kwargs)
+        dts.append(time.perf_counter() - t0)
+    return minutes * 60 / float(np.median(dts))
 
 
 def bench_train_step(cfg):
@@ -155,9 +175,11 @@ def bench_train_step(cfg):
         multi_label=True, label_smoothing=0.08, box_w=0.1, class_w=0.3, anchor_t=5,
     )
     tx = make_optimizer(tc["optimizer_config"], tc["lr_scheduler_config"], 100)
+    S = 4  # optimizer steps fused per dispatch (semantics tested identical)
     trainer = TrainerPipeline(model, loss_fn, tx, use_ema=True,
                               ema_config=tc["ema_config"],
-                              metrics_path="/tmp/bench_m", model_path="/tmp/bench_m")
+                              metrics_path="/tmp/bench_m", model_path="/tmp/bench_m",
+                              steps_per_dispatch=S)
     rng = np.random.default_rng(3)
     n = 16
     from audioyolo_tpu.ops.frontend import SpectralFrontend
@@ -175,16 +197,21 @@ def bench_train_step(cfg):
     }
     state = trainer.create_state(batch["audio"][:1])
     trainer._build_steps()
-    audio, targets = trainer._put_batch(batch)
-    # _train_step returns a stacked (10,) metrics vector (METRIC_KEYS order)
-    state, m = trainer._train_step(state, audio, targets)  # compile
+    # S device-resident batches (distinct buffers, like the prefetching loader)
+    flat = []
+    for i in range(S):
+        b = dict(batch)
+        b["classes"] = rng.integers(0, NUM_CLASSES, (BATCH, n)).astype(np.int32)
+        audio_i, targets_i = trainer._put_batch(b)
+        flat += [audio_i, targets_i]
+    state, m = trainer._train_multi(state, *flat)  # compile
     jax.block_until_ready(m)
-    iters = 10
+    iters = 8
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, m = trainer._train_step(state, audio, targets)
+        state, m = trainer._train_multi(state, *flat)
     jax.block_until_ready(m)
-    dt = (time.perf_counter() - t0) / iters
+    dt = (time.perf_counter() - t0) / (iters * S)
     return BATCH * float(cfg.sample_duration) / dt
 
 
@@ -196,14 +223,19 @@ def main():
     from audioyolo_tpu.config import load_config
 
     cfg = load_config("config/config.yaml")
-    infer_fn, frame_fn, _ = _build_infer(cfg)
+    N_DISPATCH = 4
+    infer_multi, frame_fn, _ = _build_infer(cfg, n_dispatch=N_DISPATCH)
 
-    # headline (#2): batched offline inference, folded, bf16, framed input
-    _emit("audio_seconds_per_sec_per_chip", bench_batched(cfg, infer_fn, frame_fn), "audio-s/s")
+    # headline (#2): batched offline inference, folded, bf16, framed input,
+    # 4 batches per host dispatch (see _build_infer)
+    _emit("audio_seconds_per_sec_per_chip",
+          bench_batched(cfg, infer_multi, frame_fn, n_dispatch=N_DISPATCH), "audio-s/s")
 
     if not args.full:
         return
-    # #1 single-clip latency (ratio vs baseline is N/A for a latency metric)
+    # #1 single-clip latency (ratio vs baseline is N/A for a latency metric):
+    # single-dispatch path — latency configs can't amortize dispatch
+    infer_fn, _, _ = _build_infer(cfg)
     _emit("single_clip_latency", bench_single_clip(cfg, infer_fn, frame_fn), "ms/60s-clip", vs=0.0)
     # #3 long-form streaming throughput (host IO + transfers included);
     # packed single-buffer detection fetch. Streaming is host->device
@@ -216,9 +248,11 @@ def main():
     # #4 training step throughput
     _emit("train_audio_seconds_per_sec", bench_train_step(cfg), "audio-s/s")
     # #5 scaled backbone (Bottleneck [3,4,6,3])
-    infer50, frame50, _ = _build_infer(cfg, block="Bottleneck", layers=[3, 4, 6, 3])
+    infer50, frame50, _ = _build_infer(
+        cfg, block="Bottleneck", layers=[3, 4, 6, 3], n_dispatch=N_DISPATCH
+    )
     _emit("scaled_backbone_audio_seconds_per_sec",
-          bench_batched(cfg, infer50, frame50), "audio-s/s")
+          bench_batched(cfg, infer50, frame50, n_dispatch=N_DISPATCH), "audio-s/s")
 
 
 if __name__ == "__main__":

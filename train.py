@@ -166,6 +166,9 @@ def run(cfg, data_parallel: bool = False, resume: bool = False):
         use_ema=bool(tc.get("use_ema", False)),
         mesh=mesh,
         seed=SEED,
+        # fuse S optimizer steps into one compiled dispatch (host dispatch
+        # through a remote runtime costs ~3 ms/call; semantics tested equal)
+        steps_per_dispatch=int(tpu_cfg.get("steps_per_dispatch", 1)),
     )
     sample = train_ds[0]["audio"][None]
     if frame_fn is not None:
