@@ -256,17 +256,19 @@ class MelBranch:
         window[off : off + self.win_length] = w
 
         self.dft_w = jnp.asarray(dft_power_matrix(self.n_fft, window))
-        self.mel_fb = jnp.asarray(
-            mel_filterbank(
-                self.n_fft // 2 + 1,
-                self.n_mels,
-                sr_model,
-                f_min=float(mel_cfg.get("f_min", 0.0)),
-                f_max=mel_cfg.get("f_max"),
-                mel_scale=mel_cfg.get("mel_scale", "htk"),
-                norm=mel_cfg.get("norm"),
-            )
+        # host copy kept: PallasMelFrontend needs the filterbank as numpy, and
+        # MelBranch may be constructed inside a jit trace (model init), where
+        # np.asarray(jnp_constant) would fail on the tracer
+        self.mel_fb_np = mel_filterbank(
+            self.n_fft // 2 + 1,
+            self.n_mels,
+            sr_model,
+            f_min=float(mel_cfg.get("f_min", 0.0)),
+            f_max=mel_cfg.get("f_max"),
+            mel_scale=mel_cfg.get("mel_scale", "htk"),
+            norm=mel_cfg.get("norm"),
         )
+        self.mel_fb = jnp.asarray(self.mel_fb_np)
 
     def __call__(self, x: jax.Array) -> jax.Array:
         """(B, samples) -> (B, n_frames, n_mels) mel power."""
@@ -353,6 +355,27 @@ class SpectralFrontend:
             except ValueError:  # e.g. frame count not phase-divisible
                 self.fused = None
 
+        # Pallas DFT+power+mel kernel (ops/pallas_frontend.py): keeps the
+        # ~1 GB/batch spectrum intermediate in VMEM instead of HBM. Measured
+        # SLOWER end-to-end than the XLA GEMM pair on v5e (21.5 vs 17.7 ms at
+        # B=256 — the stage is MXU-compute-bound and Mosaic's matmul codegen
+        # trails XLA's here; docs/PERFORMANCE.md "negative results"), so it is
+        # opt-in: tpu_config.pallas_frontend: on | off (default). Only valid
+        # for the bf16 "default" posture (it IS a bf16 kernel) with power=2.
+        self.pallas_mel = None
+        if (
+            self.fused is not None
+            and self.precision == jax.lax.Precision.DEFAULT
+            and self.mel.power == 2.0
+            and str(cfg.raw.get("tpu_config", {}).get(
+                "pallas_frontend", "off")).lower() == "on"
+        ):
+            from .pallas_frontend import PallasMelFrontend
+
+            pm = PallasMelFrontend(self.fused, self.mel.mel_fb_np)
+            if pm.ok:  # fits the 16 MB VMEM budget
+                self.pallas_mel = pm
+
     def frame_host(self, audio: np.ndarray) -> np.ndarray:
         """Host-side framing for the fused path: (B, S) or (B, 1, S) raw audio
         (float or int16) -> (B, n_ph, n_groups, frame_len). Feed the result to
@@ -376,15 +399,20 @@ class SpectralFrontend:
         if audio.ndim == 4:
             if self.fused is None:
                 raise ValueError("framed input given but fused path unavailable")
-            # project to mel in phase order, THEN restore time order: the
-            # transpose moves (B, T, n_mels) instead of (B, T, n_freq)
-            mel_rg = jnp.matmul(
-                self.fused(audio, power=self.mel.power,
-                           precision=self.precision, reorder=False),
-                self.mel.mel_fb,
-                preferred_element_type=jnp.float32,
-                precision=self.precision,
-            )
+            if self.pallas_mel is not None and jax.default_backend() == "tpu":
+                # one VMEM-resident Pallas pass: DFT GEMM + power + mel GEMM
+                # without materializing the (B, n_ph, G, 2*n_freq) spectrum
+                mel_rg = self.pallas_mel(audio)
+            else:
+                # project to mel in phase order, THEN restore time order: the
+                # transpose moves (B, T, n_mels) instead of (B, T, n_freq)
+                mel_rg = jnp.matmul(
+                    self.fused(audio, power=self.mel.power,
+                               precision=self.precision, reorder=False),
+                    self.mel.mel_fb,
+                    preferred_element_type=jnp.float32,
+                    precision=self.precision,
+                )
             return self._images(self.fused.reorder_frames(mel_rg), None)
         if audio.ndim == 3:
             audio = audio[:, 0, :]

@@ -52,6 +52,44 @@ def test_fused_matches_standard_resampled(full_cfg):
     np.testing.assert_array_equal(fd, framed)
 
 
+def test_pallas_mel_kernel_matches_xla(full_cfg):
+    """The Pallas DFT+power+mel kernel (ops/pallas_frontend.py, opt-in — a
+    measured-negative perf experiment kept for documentation) must agree with
+    the XLA default-precision GEMM pair. Runs in interpret mode on CPU; bf16
+    rounding in the kernel vs fp32 XLA here bounds agreement at ~1%."""
+    import jax
+
+    from audioyolo_tpu.ops.pallas_frontend import PallasMelFrontend
+
+    fe = SpectralFrontend(full_cfg)
+    assert fe.fused is not None
+    pm = PallasMelFrontend(fe.fused, fe.mel.mel_fb_np)
+    assert pm.ok
+    rng = np.random.default_rng(3)
+    wav = (rng.standard_normal((2, full_cfg.clip_samples)) * 0.1).astype(np.float32)
+    framed = fe.frame_host(wav)
+
+    ref = np.asarray(
+        jnp.matmul(
+            fe.fused(jnp.asarray(framed), power=2.0, reorder=False,
+                     precision=jax.lax.Precision.HIGHEST),
+            fe.mel.mel_fb,
+        )
+    )
+    out = np.asarray(pm(jnp.asarray(framed), interpret=True))
+    assert out.shape == ref.shape
+    rel = np.abs(out - ref) / (np.abs(ref) + 1e-3)
+    assert rel.max() < 2e-2, rel.max()
+
+    # int16 frames: dequant scale folded into the combined matrix
+    i16 = fe.frame_host(
+        np.clip(np.round(wav * 32768.0), -32768, 32767).astype(np.int16)
+    )
+    out16 = np.asarray(pm(jnp.asarray(i16), interpret=True))
+    rel16 = np.abs(out16 - ref) / (np.abs(ref) + 1e-3)
+    assert rel16.max() < 2e-2, rel16.max()
+
+
 def test_fused_matches_standard_no_resample(tiny_cfg):
     """No-resample config collapses to a single phase (plain framing)."""
     fe = SpectralFrontend(tiny_cfg)
