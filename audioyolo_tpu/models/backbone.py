@@ -78,6 +78,12 @@ class ResNetBackbone(nn.Module):
     block_layers: Sequence[int] = (3, 4, 6, 3)
     dropout: float = 0.0
     dtype: Optional[Dtype] = None
+    # Space-to-depth stem (exact; layers.s2d_conv2d): the two 7x7/s2 stem convs
+    # are channel-starved on the MXU (C_in=2: 17 TF/s measured on v5e) — the
+    # 2x2 fold quadruples lane utilization at identical arithmetic. Parameters
+    # keep the reference 7x7 layout either way (tpu_config.s2d_stem: off to
+    # disable).
+    s2d_stem: bool = True
 
     @property
     def fmap_channels(self) -> Tuple[int, int, int, int]:
@@ -87,7 +93,13 @@ class ResNetBackbone(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> Tuple[jax.Array, ...]:
         blk = _BLOCKS[self.block]
-        x = Conv2d(64, 7, 2, 3, use_bias=False, dtype=self.dtype, name="conv1")(x)
+        # conv1 only: its C_in 2 -> 8 fold is a free bitcast on the incoming
+        # {0,3,2,1} layout and runs 2.1x faster (0.171 -> 0.081 ms at B=32).
+        # Folding conv2 (C_in 64 -> 256 or 128) was measured NET-NEGATIVE both
+        # ways: XLA inserts ~0.19 ms of relayout copies for the folded input
+        # that outweigh any MXU gain (docs/PERFORMANCE.md round 3).
+        f1 = (True, True) if self.s2d_stem else None
+        x = Conv2d(64, 7, 2, 3, use_bias=False, dtype=self.dtype, s2d=f1, name="conv1")(x)
         x = Conv2d(64, 7, 2, 3, use_bias=False, dtype=self.dtype, name="conv2")(x)
         x = BatchNorm(dtype=self.dtype, name="bn1")(x, use_running_average=not train)
         x = nn.relu(x)

@@ -108,11 +108,13 @@ class AudioDetectionModel(nn.Module):
             block = rc.get("block", "BasicBlock")
             if not isinstance(block, str):
                 block = getattr(block, "__name__", str(block))
+            tpu_cfg = self.config.get("tpu_config") or {}
             self.feature_extractor = ResNetBackbone(
                 block=block,
                 block_layers=tuple(self.config["block_layers"]),
                 dropout=float(self.config.get("dropout", 0.0)),
                 dtype=self.dtype,
+                s2d_stem=str(tpu_cfg.get("s2d_stem", "on")).lower() != "off",
             )
         elif backbone == "custom":
             self.feature_extractor = CustomBackbone(

@@ -83,8 +83,105 @@ class BatchNorm(nn.Module):
         return y.astype(self.dtype or x.dtype)
 
 
+def _fold_axis_params(k: int, p: int) -> Tuple[int, int, int, int]:
+    """Stride-2 conv along one axis (kernel k, symmetric zero pad p) re-expressed
+    on a 2x space-to-depth folded grid: returns (folded kernel size, front zero
+    taps, m_min, m_max) where output q reads folded rows q+m, m in [m_min, m_max].
+
+    Derivation: input index r = 2q - p + t (t in [0, k)) rewritten r = 2(q+m)+d
+    with d in {0, 1}; the folded tap (m, d) carries weight w[t], t = 2m + d + p.
+    """
+    m_min = -((p + 1) // 2)
+    m_max = (k - 1 - p) // 2
+    k2 = m_max - m_min + 1
+    front = -(2 * m_min + p)  # zero taps prepended so t=0 lands at slot `front`
+    return k2, front, m_min, m_max
+
+
+def s2d_conv2d(
+    x: jax.Array,
+    kernel: jax.Array,
+    padding: Tuple[int, int],
+    fold: Tuple[bool, bool] = (True, True),
+    precision=None,
+) -> jax.Array:
+    """Exact stride-(2,2) NHWC conv computed as a space-to-depth folded conv.
+
+    Folding a 2x spatial block into channels turns a channel-starved conv
+    (e.g. the stem's 7x7/s2 over the C=2 spectral image, measured 17 TF/s on
+    v5e — 128-lane MXU fed 2 lanes) into a stride-1 conv with 4x the input
+    channels and a [k//2+1]^2 kernel: identical arithmetic, ~4x the lane
+    utilization. Weights are rearranged in-graph (a few KB — free) so the
+    parameter tree keeps the reference 7x7 layout (``modules/_backbone.py:
+    131-141``) and checkpoints/EMA/optimizer state are unaffected.
+    """
+    B, H, W, C = x.shape
+    kh, kw, ci, co = kernel.shape
+    ph, pw = padding
+    fh, fw = fold
+    h_out = (H + 2 * ph - kh) // 2 + 1
+    w_out = (W + 2 * pw - kw) // 2 + 1
+    if fh and fw:
+        xf = (x.reshape(B, H // 2, 2, W // 2, 2, C)
+              .transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C))
+    elif fw:
+        xf = x.reshape(B, H, W // 2, 2 * C)
+    elif fh:
+        xf = (x.reshape(B, H // 2, 2, W, C)
+              .transpose(0, 1, 3, 2, 4).reshape(B, H // 2, W, 2 * C))
+    else:
+        xf = x
+    wf = kernel
+    if fh:
+        k2h, fr, mmin_h, mmax_h = _fold_axis_params(kh, ph)
+        wf = jnp.pad(wf, ((fr, 2 * k2h - fr - kh), (0, 0), (0, 0), (0, 0)))
+        wf = wf.reshape(k2h, 2, kw, ci, co)
+        pad_h, sh = (-mmin_h, h_out - H // 2 + mmax_h), 1
+    else:
+        wf = wf.reshape(kh, 1, kw, ci, co)
+        k2h, pad_h, sh = kh, (ph, ph), 2
+    if fw:
+        k2w, fr, mmin_w, mmax_w = _fold_axis_params(kw, pw)
+        wf = jnp.pad(wf, ((0, 0), (0, 0), (fr, 2 * k2w - fr - kw), (0, 0), (0, 0)))
+        wf = wf.reshape(k2h, wf.shape[1], k2w, 2, ci, co)
+        pad_w, sw = (-mmin_w, w_out - W // 2 + mmax_w), 1
+    else:
+        wf = wf.reshape(k2h, wf.shape[1], kw, 1, ci, co)
+        k2w, pad_w, sw = kw, (pw, pw), 2
+    wf = wf.transpose(0, 2, 1, 3, 4, 5).reshape(k2h, k2w, -1, co)
+    return jax.lax.conv_general_dilated(
+        xf, wf, window_strides=(sh, sw), padding=(pad_h, pad_w),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
+    )
+
+
+class _ConvParams(nn.Module):
+    """Bare conv parameters with ``nn.Conv``-identical paths/shapes/inits, for
+    conv formulations ``nn.Conv`` cannot express (see :func:`s2d_conv2d`)."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    in_features: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self) -> Tuple[jax.Array, Optional[jax.Array]]:
+        kernel = self.param(
+            "kernel", conv_kernel_init,
+            (*self.kernel_size, self.in_features, self.features), jnp.float32)
+        bias = (self.param("bias", conv_bias_init, (self.features,), jnp.float32)
+                if self.use_bias else None)
+        return kernel, bias
+
+
 class Conv2d(nn.Module):
-    """Torch-flavoured conv wrapper: explicit symmetric padding, HWIO kernels."""
+    """Torch-flavoured conv wrapper: explicit symmetric padding, HWIO kernels.
+
+    ``s2d=(fold_h, fold_w)`` opts a stride-(2,2) conv into the exact
+    space-to-depth formulation (:func:`s2d_conv2d`); parameters are identical
+    either way. Silently falls back to the plain conv when preconditions
+    (stride 2, odd kernel with pad <= k//2, even folded extents) don't hold.
+    """
 
     features: int
     kernel_size: Union[int, Tuple[int, int]]
@@ -92,13 +189,33 @@ class Conv2d(nn.Module):
     padding: Union[int, Tuple[int, int]] = 0
     use_bias: bool = True
     dtype: Optional[Dtype] = None
+    s2d: Optional[Tuple[bool, bool]] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         ph, pw = _pair(self.padding)
+        kh, kw = _pair(self.kernel_size)
+        fold = self.s2d
+        if fold is not None:
+            fh, fw = fold
+            ok = _pair(self.strides) == (2, 2)
+            if fh and (x.shape[1] % 2 or kh % 2 == 0 or ph > kh // 2):
+                fh = False
+            if fw and (x.shape[2] % 2 or kw % 2 == 0 or pw > kw // 2):
+                fw = False
+            if ok and (fh or fw):
+                kernel, bias = _ConvParams(
+                    self.features, (kh, kw), x.shape[-1], self.use_bias,
+                    name="conv")()
+                dt = self.dtype or x.dtype
+                y = s2d_conv2d(x.astype(dt), kernel.astype(dt), (ph, pw),
+                               (fh, fw))
+                if bias is not None:
+                    y = y + bias.astype(dt)
+                return y
         return nn.Conv(
             features=self.features,
-            kernel_size=_pair(self.kernel_size),
+            kernel_size=(kh, kw),
             strides=_pair(self.strides),
             padding=[(ph, ph), (pw, pw)],
             use_bias=self.use_bias,

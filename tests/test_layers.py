@@ -69,6 +69,71 @@ def test_conv_same_padding_matches_torch(rng):
     np.testing.assert_allclose(out, tout.numpy().transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-5)
 
 
+def test_s2d_conv_matches_plain_and_torch(rng):
+    """The space-to-depth stride-2 conv (layers.s2d_conv2d, used for the
+    channel-starved ResNet stem) must be exact: same params tree as the plain
+    conv, same output (fp32 reassociation tolerance), torch-verified."""
+    from audioyolo_tpu.models.layers import s2d_conv2d
+
+    cases = [
+        # (H, W, k, ci, co, pad, fold) — first two are the actual stem shapes
+        (32, 96, 7, 2, 8, 3, (True, True)),
+        (16, 48, 7, 8, 8, 3, (True, True)),
+        (16, 48, 7, 8, 8, 3, (False, True)),
+        (16, 48, 7, 8, 8, 3, (True, False)),
+        (8, 24, 3, 5, 7, 1, (True, True)),
+        (8, 24, 1, 5, 7, 0, (True, True)),
+        (12, 20, 5, 3, 4, 2, (True, True)),
+    ]
+    for H, W, k, ci, co, pad, fold in cases:
+        x = rng.standard_normal((2, H, W, ci)).astype(np.float32)
+        plain = Conv2d(co, k, 2, pad, use_bias=False)
+        folded = Conv2d(co, k, 2, pad, use_bias=False, s2d=fold)
+        vp = plain.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        vf = folded.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        # identical parameter trees (paths, shapes, values)
+        np.testing.assert_array_equal(
+            np.asarray(vp["params"]["conv"]["kernel"]),
+            np.asarray(vf["params"]["conv"]["kernel"]),
+        )
+        out_p = np.asarray(plain.apply(vp, jnp.asarray(x)))
+        out_f = np.asarray(folded.apply(vp, jnp.asarray(x)))
+        np.testing.assert_allclose(out_f, out_p, rtol=1e-4, atol=1e-4,
+                                   err_msg=str((H, W, k, ci, co, pad, fold)))
+        # torch oracle
+        tk = torch.from_numpy(
+            np.transpose(np.asarray(vp["params"]["conv"]["kernel"]), (3, 2, 0, 1)))
+        tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        tout = F.conv2d(tx, tk, None, stride=2, padding=pad)
+        np.testing.assert_allclose(
+            out_f, tout.numpy().transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-4)
+        # direct functional form agrees too
+        kern = jnp.asarray(vp["params"]["conv"]["kernel"])
+        out_fn = np.asarray(s2d_conv2d(jnp.asarray(x), kern, (pad, pad), fold))
+        np.testing.assert_allclose(out_fn, out_p, rtol=1e-4, atol=1e-4)
+
+
+def test_s2d_conv_fallback_on_odd_extents(rng):
+    """Odd spatial extents / non-2 strides silently fall back to the plain
+    conv (same params), so the s2d option is always safe to request."""
+    x = rng.standard_normal((2, 9, 15, 3)).astype(np.float32)
+    plain = Conv2d(4, 3, 2, 1, use_bias=False)
+    folded = Conv2d(4, 3, 2, 1, use_bias=False, s2d=(True, True))
+    vp = plain.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    np.testing.assert_array_equal(
+        np.asarray(plain.apply(vp, jnp.asarray(x))),
+        np.asarray(folded.apply(vp, jnp.asarray(x))),
+    )
+    # stride-1 conv: s2d ignored entirely
+    s1p = Conv2d(4, 3, 1, 1, use_bias=False)
+    s1f = Conv2d(4, 3, 1, 1, use_bias=False, s2d=(True, True))
+    v1 = s1p.init(jax.random.PRNGKey(1), jnp.asarray(x))
+    np.testing.assert_array_equal(
+        np.asarray(s1p.apply(v1, jnp.asarray(x))),
+        np.asarray(s1f.apply(v1, jnp.asarray(x))),
+    )
+
+
 def test_resize_w_matches_torch_bilinear(rng):
     x = rng.standard_normal((2, 3, 10, 4)).astype(np.float32)  # NHWC
     tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
