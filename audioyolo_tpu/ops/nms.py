@@ -134,6 +134,73 @@ def _greedy_suppress_rows(
     return alive[:, :k]
 
 
+@partial(jax.jit, static_argnames=("iou_threshold", "block"))
+def _greedy_suppress_blocked(
+    x1s: jax.Array, x2s: jax.Array, iou_threshold: float, block: int = 16
+) -> jax.Array:
+    """Blocked greedy NMS — same result as :func:`_greedy_suppress_rows`,
+    restructured to shrink the serial dependency chain.
+
+    Key observation: the IoU rows depend only on the (constant) bounds, never
+    on the evolving ``alive`` state — only the tiny keep-flag decisions are
+    inherently sequential. So per chunk of ``block`` rows: (1) compute the
+    (B, block, K) IoU mask vectorized, (2) run the serial pass on just the
+    (B, block, block) within-chunk part, (3) apply all of the chunk's kept
+    rows to later columns in ONE bulk masked update. The x16-unrolled row
+    loop issues 640 serial updates on (B, K) buffers; this issues 640 updates
+    on (B, block) plus K/block bulk ops. Same greedy semantics as torchvision
+    NMS (reference ``inference.py:75-80``), verified bit-identical
+    (tests/test_nms_metrics.py).
+
+    Status: NOT the production path. Isolated at (32, 630) on v5e it wins
+    (0.450 -> 0.117 ms suppression), but inside the full decode program XLA
+    materializes the per-chunk (B, block, K) IoU masks to HBM instead of
+    keeping them fused, and the whole decode+NMS segment regresses
+    (~1.1 ms total vs the x16-unrolled rows form). Kept as the reference
+    formulation for a future VMEM-resident Pallas port, where the chunk
+    intermediates stay on-chip by construction. See docs/PERFORMANCE.md.
+    """
+    b, k = x1s.shape
+    kp = -(-k // block) * block
+    if kp != k:  # degenerate [0, 0] pad intervals: IoU 0, suppress nothing
+        x1s = jnp.pad(x1s, ((0, 0), (0, kp - k)))
+        x2s = jnp.pad(x2s, ((0, 0), (0, kp - k)))
+    w = jnp.maximum(x2s - x1s, 0.0)
+    col = jnp.arange(kp)[None, :]
+    jcol = jnp.arange(block)[None, :]
+    alive0 = jnp.ones((b, kp), dtype=bool)
+
+    def chunk(c, alive):
+        i0 = c * block
+        x1c = jax.lax.dynamic_slice_in_dim(x1s, i0, block, axis=1)  # (B, blk)
+        x2c = jax.lax.dynamic_slice_in_dim(x2s, i0, block, axis=1)
+        wc = jnp.maximum(x2c - x1c, 0.0)
+        inter = jnp.maximum(
+            jnp.minimum(x2c[..., None], x2s[:, None, :])
+            - jnp.maximum(x1c[..., None], x1s[:, None, :]),
+            0.0,
+        )
+        iou = inter / jnp.maximum(wc[..., None] + w[:, None, :] - inter, 1e-12)
+        mask = iou > iou_threshold  # (B, blk, K)
+        mask_cc = jax.lax.dynamic_slice_in_dim(mask, i0, block, axis=2)
+
+        alive_c = jax.lax.dynamic_slice_in_dim(alive, i0, block, axis=1)
+
+        def sub(j, a):  # serial only within the (B, blk) chunk
+            keep_j = jax.lax.dynamic_slice_in_dim(a, j, 1, axis=1)  # (B, 1)
+            row = jax.lax.dynamic_slice_in_dim(mask_cc, j, 1, axis=1)[:, 0, :]
+            return a & ~(keep_j & row & (jcol > j))
+
+        alive_c = jax.lax.fori_loop(0, block, sub, alive_c)
+        # bulk: every later column suppressed by any kept row of this chunk
+        supp = jnp.any(alive_c[..., None] & mask, axis=1)  # (B, K)
+        alive = alive & ~(supp & (col >= i0 + block))
+        return jax.lax.dynamic_update_slice(alive, alive_c, (0, i0))
+
+    alive = jax.lax.fori_loop(0, kp // block, chunk, alive0)
+    return alive[:, :k]
+
+
 @partial(jax.jit, static_argnames=("iou_threshold", "sample_duration"))
 def batched_interval_nms(
     preds: jax.Array,

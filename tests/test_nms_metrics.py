@@ -122,12 +122,14 @@ def test_pallas_nms_matches_xla_interpret(rng):
 def test_fixpoint_suppress_equals_sequential(rng):
     """The parallel fixpoint greedy NMS must match the K-step sequential pass
     bit-for-bit, including adversarial long suppression chains."""
-    from audioyolo_tpu.ops.nms import (_greedy_suppress, _greedy_suppress_fixpoint,
+    from audioyolo_tpu.ops.nms import (_greedy_suppress, _greedy_suppress_blocked,
+                                       _greedy_suppress_fixpoint,
                                        _greedy_suppress_rows)
 
-    # random interval soups
+    # random interval soups (k=63: not a multiple of the block size, so the
+    # blocked formulation's pad path is exercised too)
     for trial in range(3):
-        k = 64
+        k = 64 if trial < 2 else 63
         c = rng.uniform(0, 60, (4, k)).astype(np.float32)
         w = rng.uniform(0.5, 20, (4, k)).astype(np.float32)
         x1, x2 = c - w / 2, c + w / 2
@@ -138,6 +140,8 @@ def test_fixpoint_suppress_equals_sequential(rng):
             np.testing.assert_array_equal(a, b)
             c = np.asarray(_greedy_suppress_rows(jnp.asarray(x1), jnp.asarray(x2), t))
             np.testing.assert_array_equal(a, c)
+            d = np.asarray(_greedy_suppress_blocked(jnp.asarray(x1), jnp.asarray(x2), t))
+            np.testing.assert_array_equal(a, d)
 
     # adversarial chain: each interval overlaps only its neighbor, so greedy
     # keeps the evens — maximal suppression-dependency depth
@@ -150,4 +154,6 @@ def test_fixpoint_suppress_equals_sequential(rng):
     np.testing.assert_array_equal(a, b)
     c = np.asarray(_greedy_suppress_rows(jnp.asarray(x1), jnp.asarray(x2), 0.2))[0]
     np.testing.assert_array_equal(a, c)
+    d = np.asarray(_greedy_suppress_blocked(jnp.asarray(x1), jnp.asarray(x2), 0.2))[0]
+    np.testing.assert_array_equal(a, d)
     assert a[::2].all() and not a[1::2].any()
