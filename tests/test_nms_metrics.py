@@ -119,6 +119,26 @@ def test_pallas_nms_matches_xla_interpret(rng):
     assert (np.asarray(kp) == np.asarray(kx)).all()
 
 
+def test_pallas_blocked_nms_matches_xla_interpret(rng):
+    """The round-3 blocked Pallas NMS kernel (interpret mode) must agree with
+    the production suppression bit-for-bit, including at K=630 (pad path)."""
+    import jax.numpy as jnp
+
+    from audioyolo_tpu.ops.nms import _greedy_suppress_rows
+    from audioyolo_tpu.ops.pallas_nms import greedy_suppress_pallas_blocked
+
+    for b, k in ((2, 630), (3, 100)):
+        c = rng.uniform(0, 60, (b, k)).astype(np.float32)
+        w = rng.uniform(0.2, 20, (b, k)).astype(np.float32)
+        x1 = jnp.asarray(np.clip(c - w / 2, 0, 60))
+        x2 = jnp.asarray(np.clip(c + w / 2, 0, 60))
+        valid = jnp.ones((b, k), bool)
+        for t in (0.1, 0.45):
+            kp = greedy_suppress_pallas_blocked(x1, x2, valid, t, interpret=True)
+            kx = _greedy_suppress_rows(x1, x2, t)
+            assert (np.asarray(kp) == np.asarray(kx)).all()
+
+
 def test_fixpoint_suppress_equals_sequential(rng):
     """The parallel fixpoint greedy NMS must match the K-step sequential pass
     bit-for-bit, including adversarial long suppression chains."""
