@@ -1,0 +1,81 @@
+"""Worker entry point for :mod:`audioyolo_tpu.infer.pool` — run as
+``python -m audioyolo_tpu.infer._pool_worker`` (separate module so runpy
+does not re-execute the pool module the parent already imported).
+
+Protocol: first stdin line = pool spec (factory + eval kwargs); every later
+line = one job; one JSON response line per job on stdout. Set
+``AYT_WORKER_PLATFORM`` to force a jax backend before any model import
+(env-var platform selection alone is too late once sitecustomize has
+pre-imported jax).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+def _worker_main() -> int:
+    plat = os.environ.get("AYT_WORKER_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+    spec = json.loads(sys.stdin.readline())
+    sys.path.insert(0, spec["cwd"])
+    import importlib
+
+    mod_name, fn_name = spec["factory"].split(":")
+    factory = getattr(importlib.import_module(mod_name), fn_name)
+    infer_fn, frame_fn = factory(**spec["factory_kwargs"])
+    ek = dict(spec["eval_kwargs"])
+    ek["idx2class_map"] = {int(k): v for k, v in spec["idx2class_map"].items()}
+    ek["frame_fn"] = frame_fn
+
+    from .pool import save_rows
+    from .streaming import evaluate_audio
+
+    resampler_cache: dict = {}
+    for line in sys.stdin:
+        job = json.loads(line)
+        try:
+            if job["op"] == "ping":
+                out = {"ok": True}
+            elif job["op"] == "span":
+                rows = evaluate_audio(
+                    infer_fn,
+                    job["path"],
+                    "",
+                    return_rows=True,
+                    chunk_range=(job["c0"], job["c1"]),
+                    _resampler_cache=resampler_cache,
+                    **ek,
+                )
+                save_rows(job["rows_out"], rows)
+                out = {"ok": True, "rows_out": job["rows_out"]}
+            elif job["op"] == "files":
+                for p in job["paths"]:
+                    evaluate_audio(
+                        infer_fn,
+                        p,
+                        job["output_dir"],
+                        _resampler_cache=resampler_cache,
+                        **ek,
+                    )
+                out = {"ok": True, "n": len(job["paths"])}
+            else:
+                out = {"ok": False, "error": "unknown op %r" % (job["op"],)}
+        except Exception as e:  # report, keep serving
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            out = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+        sys.stdout.write(json.dumps(out) + "\n")
+        sys.stdout.flush()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(_worker_main())

@@ -1,0 +1,217 @@
+"""Multi-process streaming serving pool.
+
+Why this exists: long-form streaming inference is *transfer-bound* on this
+class of deployment — the host->device pipe sustains ~45 MB/s per process
+once a device->host fetch has occurred (docs/PERFORMANCE.md "transfer
+cliff"), capping single-process streaming at ~1,000 audio-s/s for int16
+input. Measured on this environment, the cap is **per-process**: 2/4/8
+concurrent processes each sustain the full ~46 MB/s (aggregate ~300 MB/s at
+8). So the production posture for streaming is a pool of worker processes,
+each owning its own device client/connection:
+
+- a *directory* is sharded by files (each worker streams whole files and
+  writes their CSVs directly — the reference's asyncio fan-out,
+  ``inference.py:212-236``, parallelized across processes instead of
+  threads so the transfer pipe is multiplied, not just overlapped);
+- a *single long file* is sharded by chunk ranges
+  (``evaluate_audio(chunk_range=...)``): each worker streams a disjoint
+  span of ``batch_size x 60 s`` chunks with global clip offsets, the parent
+  concatenates the row lists and runs the same global sort + RLE merge as
+  the single-process path — byte-identical CSV (tested).
+
+Workers are *persistent* (JSON-lines protocol on stdin/stdout): process
+startup + jax import + first compile cost seconds on a 1-core host, so the
+pool is built once and reused across files/requests. Model/config state is
+rebuilt inside each worker from a ``factory`` spec — a ``"module:function"``
+dotted reference resolved in the worker, called with ``factory_kwargs``,
+returning ``(infer_fn, frame_fn_or_None)``.
+
+Worker platform note: workers inherit the parent environment; set
+``AYT_WORKER_PLATFORM=cpu`` to force the CPU backend inside workers (the
+test suite does — env-var-only forcing is too late once sitecustomize
+pre-imports jax, so the worker entry applies it via ``jax.config.update``
+before touching any model code).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+_ROW_FIELDS = ("confidence", "objectness", "class_idx", "start", "end")
+
+
+def save_rows(path: str, rows: List[dict]) -> None:
+    arr = {f: np.asarray([r[f] for r in rows], np.float64) for f in _ROW_FIELDS}
+    np.savez(path, **arr)
+
+
+def load_rows(path: str) -> List[dict]:
+    z = np.load(path)
+    n = len(z["start"])
+    return [
+        {
+            "confidence": float(z["confidence"][i]),
+            "objectness": float(z["objectness"][i]),
+            "class_idx": int(z["class_idx"][i]),
+            "start": float(z["start"][i]),
+            "end": float(z["end"][i]),
+        }
+        for i in range(n)
+    ]
+
+
+class StreamWorkerPool:
+    """Persistent pool of streaming-inference worker processes.
+
+    ``factory``: ``"module:function"`` resolved *inside* each worker (with the
+    parent's cwd on ``sys.path``), called as ``factory(**factory_kwargs)`` and
+    returning ``(infer_fn, frame_fn)``. ``eval_kwargs`` are the
+    :func:`evaluate_audio` keyword arguments shared by all jobs
+    (``input_sample_rate``, ``sample_duration``, ``batch_size``,
+    ``idx2class_map``).
+    """
+
+    def __init__(
+        self,
+        factory: str,
+        factory_kwargs: dict,
+        workers: int,
+        eval_kwargs: dict,
+        env: Optional[dict] = None,
+    ):
+        self.workers = int(workers)
+        self.eval_kwargs = dict(eval_kwargs)
+        spec = {
+            "factory": factory,
+            "factory_kwargs": factory_kwargs,
+            "eval_kwargs": {
+                k: v for k, v in eval_kwargs.items() if k != "idx2class_map"
+            },
+            # JSON keys are strings; the worker restores int keys
+            "idx2class_map": {
+                str(k): v for k, v in eval_kwargs["idx2class_map"].items()
+            },
+            "cwd": os.getcwd(),
+        }
+        self._procs = []
+        wenv = dict(os.environ)
+        if env:
+            wenv.update(env)
+        for _ in range(self.workers):
+            p = subprocess.Popen(
+                [sys.executable, "-m", "audioyolo_tpu.infer._pool_worker"],
+                stdin=subprocess.PIPE,
+                stdout=subprocess.PIPE,
+                stderr=sys.stderr,
+                text=True,
+                env=wenv,
+                cwd=os.getcwd(),
+            )
+            p.stdin.write(json.dumps(spec) + "\n")
+            p.stdin.flush()
+            self._procs.append(p)
+
+    # -- low-level protocol -------------------------------------------------
+
+    def _submit(self, wi: int, job: dict) -> None:
+        p = self._procs[wi]
+        p.stdin.write(json.dumps(job) + "\n")
+        p.stdin.flush()
+
+    def _recv(self, wi: int) -> dict:
+        line = self._procs[wi].stdout.readline()
+        if not line:
+            raise RuntimeError(f"stream worker {wi} died (see stderr above)")
+        msg = json.loads(line)
+        if not msg.get("ok"):
+            raise RuntimeError(f"stream worker {wi} failed: {msg.get('error')}")
+        return msg
+
+    def warmup(self) -> None:
+        """Block until every worker has built its model (first compile)."""
+        for wi in range(self.workers):
+            self._submit(wi, {"op": "ping"})
+        for wi in range(self.workers):
+            self._recv(wi)
+
+    # -- high-level API -----------------------------------------------------
+
+    def evaluate_file(self, audio_filepath: str, output_dir: str) -> str:
+        """Shard one long file across the pool by chunk ranges; returns the
+        CSV path. Row set and CSV are identical to single-process
+        :func:`evaluate_audio` (global sort + RLE merge run once, here)."""
+        from ..data.wavio import read_wav_info
+        from .streaming import write_rows_csv
+
+        ek = self.eval_kwargs
+        _, total_frames, _ = read_wav_info(audio_filepath)
+        sample_size = int(ek["sample_duration"] * ek["input_sample_rate"])
+        n_chunks = max(1, -(-total_frames // (ek["batch_size"] * sample_size)))
+        n_w = min(self.workers, n_chunks)
+        # contiguous spans, remainder spread over the first workers
+        base, extra = divmod(n_chunks, n_w)
+        spans, c = [], 0
+        for i in range(n_w):
+            n = base + (1 if i < extra else 0)
+            spans.append((c, c + n))
+            c += n
+        tmp = tempfile.mkdtemp(prefix="ayt_pool_")
+        for wi, (c0, c1) in enumerate(spans):
+            self._submit(
+                wi,
+                {
+                    "op": "span",
+                    "path": audio_filepath,
+                    "c0": c0,
+                    "c1": c1,
+                    "rows_out": os.path.join(tmp, f"rows{wi}.npz"),
+                },
+            )
+        rows: List[dict] = []
+        for wi in range(n_w):
+            msg = self._recv(wi)
+            rows.extend(load_rows(msg["rows_out"]))
+            os.unlink(msg["rows_out"])
+        os.rmdir(tmp)
+        os.makedirs(output_dir, exist_ok=True)
+        return write_rows_csv(
+            rows, ek["idx2class_map"], audio_filepath, output_dir
+        )
+
+    def evaluate_dir(self, paths: Sequence[str], output_dir: str) -> int:
+        """Shard ``paths`` across workers; each worker streams whole files and
+        writes their CSVs. Returns the number of files processed."""
+        shards = [list(paths[i :: self.workers]) for i in range(self.workers)]
+        live = []
+        for wi, shard in enumerate(shards):
+            if shard:
+                self._submit(
+                    wi, {"op": "files", "paths": shard, "output_dir": output_dir}
+                )
+                live.append(wi)
+        done = 0
+        for wi in live:
+            done += int(self._recv(wi)["n"])
+        return done
+
+    def close(self) -> None:
+        for p in self._procs:
+            try:
+                p.stdin.close()
+            except Exception:
+                pass
+        for p in self._procs:
+            p.wait(timeout=30)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

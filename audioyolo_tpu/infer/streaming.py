@@ -52,6 +52,7 @@ def evaluate_audio(
     return_rows: bool = False,
     frame_fn: Optional[Callable] = None,
     _resampler_cache: Optional[dict] = None,
+    chunk_range: Optional[tuple] = None,
 ) -> Optional[List[dict]]:
     """Stream one file through the detector; writes ``<name>_results.csv``.
 
@@ -64,11 +65,23 @@ def evaluate_audio(
     the device runs pure GEMMs with no relayouts. Used when the file is
     already at ``input_sample_rate`` (otherwise the on-device rate conversion
     happens first and the waveform path is kept).
+
+    ``chunk_range``: optional ``(c0, c1)`` — evaluate only chunks
+    ``c0 <= c < c1`` (chunk = ``batch_size`` windows), with clip offsets kept
+    *global*, so disjoint ranges from parallel worker processes concatenate
+    into exactly the single-process row list (infer/pool.py shards long files
+    this way: the host->device pipe's ~45 MB/s throughput cap is
+    per-process, so K workers ingest at ~K x 45 MB/s — docs/PERFORMANCE.md).
     """
     og_rate, total_frames, _ = read_wav_info(audio_filepath)
     sample_size = int(sample_duration * og_rate)
     model_sample_size = int(sample_duration * input_sample_rate)
     chunk_frames = batch_size * sample_size
+    first_frame, end_frame = 0, total_frames
+    if chunk_range is not None:
+        c0, c1 = chunk_range
+        first_frame = min(c0 * chunk_frames, total_frames)
+        end_frame = min(c1 * chunk_frames, total_frames)
 
     resampler = None
     if og_rate != input_sample_rate:
@@ -84,18 +97,19 @@ def evaluate_audio(
         """Returns (samples_1d, dtype) — int16 zero-copy for mono PCM16 files
         (the common case: 4x less host->device traffic, dequantized in-graph),
         float32 decode otherwise."""
-        raw = read_wav_pcm16_mono(audio_filepath, frame_offset=start_frame, num_frames=chunk_frames)
+        nf = min(chunk_frames, end_frame - start_frame)  # stay inside the range
+        raw = read_wav_pcm16_mono(audio_filepath, frame_offset=start_frame, num_frames=nf)
         if raw is not None:
             return raw, np.int16
-        audio, _ = read_wav(audio_filepath, frame_offset=start_frame, num_frames=chunk_frames)
+        audio, _ = read_wav(audio_filepath, frame_offset=start_frame, num_frames=nf)
         if audio.shape[0] != 1:
             audio = audio.mean(axis=0, keepdims=True)
         return audio[0], np.float32
 
     def chunk_inputs():
         """Host decode + window + device transfer, one chunk at a time."""
-        start_frame = 0
-        while start_frame < total_frames:
+        start_frame = first_frame
+        while start_frame < end_frame:
             samples, dtype = read_chunk_mono(start_frame)
             if samples.shape[-1] == 0:
                 return
@@ -140,7 +154,7 @@ def evaluate_audio(
         return unpack_detections(np.asarray(out))
 
     all_rows: List[dict] = []
-    clip_offset = 0
+    clip_offset = 0 if chunk_range is None else chunk_range[0] * batch_size
     pending = None  # (nclips, in-flight device result)
 
     def drain(nclips: int, out) -> None:

@@ -69,7 +69,12 @@ def _build_infer(cfg, block=None, layers=None, keep_k=128, packed=False, n_dispa
     sample = jnp.zeros((1, 1, cfg.clip_samples), jnp.float32)
     init_fn = jax.jit(lambda r, x: train_model.init(r, x, train=False))
     variables = init_fn({"params": rng, "dropout": rng}, sample)
-    variables = fold_repvgg(jax.tree.map(np.asarray, variables))
+    # packed single-buffer fetch: per-leaf np.asarray costs a tunnel round
+    # trip per tensor (~0.25 s x 294 leaves) — it made every streaming pool
+    # worker pay ~4 min of startup
+    from audioyolo_tpu.train.trainer import TrainerPipeline
+
+    variables = fold_repvgg(TrainerPipeline.fetch_tree(variables))
     deploy = AudioDetectionModel.from_config(
         raw, num_classes=NUM_CLASSES, deploy=True, dtype=jnp.bfloat16
     )
@@ -154,6 +159,55 @@ def bench_streaming(cfg, infer_fn, frame_fn, tmpdir="/tmp/bench_stream"):
         t0 = time.perf_counter()
         evaluate_audio(infer_fn, path, tmpdir, **kwargs)
         dts.append(time.perf_counter() - t0)
+    return minutes * 60 / float(np.median(dts))
+
+
+def _stream_factory(config="config/config.yaml"):
+    """Worker-side factory for the pooled streaming bench: rebuilds the
+    PRNGKey(0)-deterministic bench model (identical across workers) and
+    returns ``(infer_fn, frame_fn=None)`` — streaming ships minimum-byte
+    int16 waveforms, not host frames."""
+    from audioyolo_tpu.config import load_config
+
+    infer_fn, _, _ = _build_infer(load_config(config), packed=True)
+    return infer_fn, None
+
+
+def bench_streaming_pool(cfg, workers=4, tmpdir="/tmp/bench_stream"):
+    """Production streaming posture: a StreamWorkerPool shards a long file
+    by chunk ranges across ``workers`` processes. The host->device transfer
+    cap (~45 MB/s) that bounds single-process streaming is per-process
+    (docs/PERFORMANCE.md), so aggregate ingest scales ~linearly with the
+    pool size. Pool startup + compile happen once (excluded, like the
+    single-process warm run); the timed runs reuse the warm pool.
+
+    A 2 h file with batch_size=8 sharding granularity (chunk = 480 s) gives
+    15 chunks over the workers; the 30-min single-process file would be ONE
+    batch-32 chunk — unshardable. Streaming is transfer-bound, so the
+    smaller per-dispatch batch does not cost device throughput."""
+    from audioyolo_tpu.data.wavio import write_wav
+    from audioyolo_tpu.infer.pool import StreamWorkerPool
+
+    os.makedirs(tmpdir, exist_ok=True)
+    minutes = 120
+    sr = cfg.sample_rate
+    path = os.path.join(tmpdir, f"long{minutes}.wav")
+    if not os.path.exists(path):
+        x = (np.random.default_rng(2).standard_normal(minutes * 60 * sr) * 0.1
+             ).astype(np.float32)
+        write_wav(path, x, sr)
+    eval_kwargs = dict(
+        input_sample_rate=sr, sample_duration=float(cfg.sample_duration),
+        batch_size=8, idx2class_map={i: f"c{i}" for i in range(NUM_CLASSES)},
+    )
+    with StreamWorkerPool("bench:_stream_factory", {}, workers, eval_kwargs) as pool:
+        pool.warmup()
+        pool.evaluate_file(path, tmpdir)  # warm compile + page cache
+        dts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pool.evaluate_file(path, tmpdir)
+            dts.append(time.perf_counter() - t0)
     return minutes * 60 / float(np.median(dts))
 
 
@@ -242,8 +296,13 @@ def main():
     # transfer bound on this tunnelled chip (~45 MB/s once any result has
     # been fetched — docs/PERFORMANCE.md), so it ships minimum-byte int16
     # waveforms rather than host-framed input (3.5x faster here).
-    infer_packed, _, _ = _build_infer(cfg, packed=True)
+    # Production posture: persistent worker pool, 4 processes — the transfer
+    # cap is per-process so the pool multiplies ingest (infer/pool.py).
     _emit("streaming_audio_seconds_per_sec",
+          bench_streaming_pool(cfg, workers=4), "audio-s/s")
+    # single-process path kept for round-over-round continuity
+    infer_packed, _, _ = _build_infer(cfg, packed=True)
+    _emit("streaming_single_process_audio_seconds_per_sec",
           bench_streaming(cfg, infer_packed, None), "audio-s/s")
     # #4 training step throughput
     _emit("train_audio_seconds_per_sec", bench_train_step(cfg), "audio-s/s")

@@ -103,6 +103,21 @@ def build_frame_fn(cfg):
     return fe.frame_host if fe.fused is not None else None
 
 
+def build_worker(config, model_path, class_map_path, iou_threshold,
+                 conf_threshold, fold=True, bf16=False, ref_exact=False,
+                 framed_input=False):
+    """Worker-side factory for the streaming pool (``infer/pool.py``):
+    rebuilds the model from its checkpoint inside the worker process and
+    returns ``(infer_fn, frame_fn)``."""
+    cfg = load_config(config)
+    idx2class = get_label_map(class_map_path)
+    infer_fn = build_inference(
+        cfg, len(idx2class), model_path, iou_threshold, conf_threshold,
+        fold=fold, dtype=jnp.bfloat16 if bf16 else None, ref_exact=ref_exact,
+    )
+    return infer_fn, (build_frame_fn(cfg) if framed_input else None)
+
+
 def main():
     parser = argparse.ArgumentParser(description="Audio model inference")
     parser.add_argument("--config", type=str, default="config/config.yaml", metavar="")
@@ -116,6 +131,12 @@ def main():
     parser.add_argument("--extension", type=str, default="wav", metavar="")
     parser.add_argument("--output_dir", type=str, default="model_predictions", metavar="")
     parser.add_argument("--num_concurrency", type=int, default=10, metavar="")
+    parser.add_argument("--workers", type=int, default=1, metavar="",
+                        help="streaming worker processes (infer/pool.py): the "
+                             "host->device pipe's throughput cap is per-"
+                             "process, so N workers ingest ~N x faster; a "
+                             "single file is sharded by chunk ranges, a "
+                             "directory by files")
     parser.add_argument("--iou_threshold", type=float, default=0.1, metavar="")
     parser.add_argument("--conf_threshold", type=float, default=0.2, metavar="")
     parser.add_argument("--no_fold", action="store_true",
@@ -140,6 +161,40 @@ def main():
     if not os.path.isfile(class_map_path):
         raise FileNotFoundError(f"{class_map_path} does not exist")
     idx2class = get_label_map(class_map_path)
+
+    if args.workers > 1:
+        from audioyolo_tpu.infer.pool import StreamWorkerPool
+
+        factory_kwargs = dict(
+            config=args.config, model_path=model_path,
+            class_map_path=class_map_path, iou_threshold=args.iou_threshold,
+            conf_threshold=args.conf_threshold, fold=not args.no_fold,
+            bf16=args.bf16, ref_exact=args.ref_exact,
+            framed_input=args.framed_input,
+        )
+        eval_kwargs = dict(
+            input_sample_rate=cfg.sample_rate,
+            sample_duration=cfg.sample_duration,
+            batch_size=batch_size,
+            idx2class_map=idx2class,
+        )
+        with StreamWorkerPool("inference:build_worker", factory_kwargs,
+                              args.workers, eval_kwargs) as pool:
+            if args.audio_filepath:
+                if not os.path.isfile(args.audio_filepath):
+                    raise FileNotFoundError(f"{args.audio_filepath} not found")
+                pool.evaluate_file(args.audio_filepath, args.output_dir)
+            else:
+                if not os.path.isdir(args.audio_dir):
+                    raise OSError(f"directory {args.audio_dir} not found")
+                ext = args.extension.replace(".", "")
+                paths = sorted(
+                    os.path.join(args.audio_dir, f)
+                    for f in os.listdir(args.audio_dir)
+                    if f.endswith(f".{ext}")
+                )
+                pool.evaluate_dir(paths, args.output_dir)
+        return
 
     infer_fn = build_inference(
         cfg, len(idx2class), model_path, args.iou_threshold, args.conf_threshold,

@@ -1,0 +1,117 @@
+"""Multi-process streaming pool (infer/pool.py): sharded results must be
+byte-identical to the single-process streaming path.
+
+The pool exists because the host->device transfer cap that bounds
+single-process streaming is per-process (docs/PERFORMANCE.md); these tests
+verify the *semantics* on the CPU backend — chunk-range sharding of one
+file and file sharding of a directory both reproduce the single-process
+CSVs exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+import pool_factory
+from synth import synth_clip
+
+from audioyolo_tpu.data.wavio import write_wav
+from audioyolo_tpu.infer import evaluate_audio
+from audioyolo_tpu.infer.pool import StreamWorkerPool
+
+EVAL_KWARGS = dict(
+    input_sample_rate=8000,
+    sample_duration=4.0,
+    batch_size=2,
+    idx2class_map={0: "tone", 1: "beep"},
+)
+WORKER_ENV = {
+    "AYT_WORKER_PLATFORM": "cpu",
+    "PYTHONPATH": os.path.dirname(os.path.abspath(__file__)),
+}
+
+
+def _long_wav(path: str, seconds: float, seed: int) -> None:
+    events = [(2.0 + 6 * i, 4.5 + 6 * i, ["tone", "beep"][i % 2])
+              for i in range(int(seconds // 6) - 1)]
+    write_wav(path, synth_clip(8000, seconds, events, seed=seed), 8000)
+
+
+@pytest.fixture(scope="module")
+def pool():
+    p = StreamWorkerPool(
+        "pool_factory:build", {"seed": 0}, workers=2,
+        eval_kwargs=EVAL_KWARGS, env=WORKER_ENV,
+    )
+    p.warmup()
+    yield p
+    p.close()
+
+
+def test_pool_single_file_matches_single_process(pool, tmp_path):
+    """One long file sharded by chunk ranges across 2 workers -> identical
+    CSV to the in-process evaluate_audio (global sort + RLE merge parity)."""
+    wav = str(tmp_path / "long.wav")
+    _long_wav(wav, 40.0, seed=5)  # 10 windows of 4 s -> 5 chunks of 2
+
+    infer_fn, _ = pool_factory.build(seed=0)
+    out_single = str(tmp_path / "single")
+    os.makedirs(out_single)
+    evaluate_audio(infer_fn, wav, out_single, **EVAL_KWARGS)
+
+    out_pool = str(tmp_path / "pooled")
+    csv_path = pool.evaluate_file(wav, out_pool)
+    single_csv = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(out_single) for f in fs if f.endswith(".csv")
+    ][0]
+    with open(single_csv) as a, open(csv_path) as b:
+        assert a.read() == b.read()
+
+
+def test_pool_uneven_tail_chunk(pool, tmp_path):
+    """A file whose last chunk is partial (and window padded) must still
+    match: exercises the end_frame clamp in evaluate_audio's chunk_range."""
+    wav = str(tmp_path / "odd.wav")
+    _long_wav(wav, 27.0, seed=9)  # 6.75 windows -> 7 windows -> 4 chunks
+
+    infer_fn, _ = pool_factory.build(seed=0)
+    rows_single = evaluate_audio(infer_fn, wav, "", return_rows=True, **EVAL_KWARGS)
+
+    out_pool = str(tmp_path / "pooled")
+    csv_path = pool.evaluate_file(wav, out_pool)
+    from audioyolo_tpu.infer.streaming import write_rows_csv
+
+    out_single = str(tmp_path / "single")
+    ref_csv = write_rows_csv(rows_single, EVAL_KWARGS["idx2class_map"], wav, out_single)
+    with open(ref_csv) as a, open(csv_path) as b:
+        assert a.read() == b.read()
+
+
+def test_pool_directory_matches_per_file(pool, tmp_path):
+    """Directory sharded by files across workers -> same per-file CSVs as
+    the in-process path."""
+    adir = tmp_path / "clips"
+    adir.mkdir()
+    paths = []
+    for i, dur in enumerate([10.0, 14.0, 9.0]):
+        p = str(adir / f"f{i}.wav")
+        _long_wav(p, dur, seed=20 + i)
+        paths.append(p)
+
+    infer_fn, _ = pool_factory.build(seed=0)
+    out_single = str(tmp_path / "single")
+    for p in paths:
+        evaluate_audio(infer_fn, p, out_single, **EVAL_KWARGS)
+
+    out_pool = str(tmp_path / "pooled")
+    n = pool.evaluate_dir(paths, out_pool)
+    assert n == 3
+    for i in range(3):
+        a_path = os.path.join(out_single, "clips", f"f{i}_results.csv")
+        b_path = os.path.join(out_pool, "clips", f"f{i}_results.csv")
+        with open(a_path) as a, open(b_path) as b:
+            assert a.read() == b.read(), f"f{i} CSVs differ"
