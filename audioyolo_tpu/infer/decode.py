@@ -164,7 +164,18 @@ def make_multi_inference_fn(
         return tuple(outs)
 
     jitted = jax.jit(infer_impl)
-    return lambda audios: jitted(*audios)
+
+    def infer(audios):
+        # a wrong count would silently trace+compile a SECOND program
+        # (20-180 s through the remote compiler) instead of erroring
+        if len(audios) != n_batches:
+            raise ValueError(
+                f"make_multi_inference_fn built for {n_batches} batches per "
+                f"dispatch, got {len(audios)}"
+            )
+        return jitted(*audios)
+
+    return infer
 
 
 def postprocess_detections(

@@ -134,6 +134,23 @@ class StreamWorkerPool:
             raise RuntimeError(f"stream worker {wi} failed: {msg.get('error')}")
         return msg
 
+    def _recv_all(self, live: Sequence[int]) -> List[dict]:
+        """Collect one response per listed worker, draining EVERY pending
+        response before raising — a failure must not leave other workers'
+        replies queued (the JSON-lines protocol has no job ids, so an
+        undrained reply would desync every later job on a reused pool)."""
+        msgs, first_err = [], None
+        for wi in live:
+            try:
+                msgs.append(self._recv(wi))
+            except Exception as e:
+                msgs.append(None)
+                if first_err is None:
+                    first_err = e
+        if first_err is not None:
+            raise first_err
+        return msgs
+
     def warmup(self) -> None:
         """Block until every worker has built its model (first compile)."""
         for wi in range(self.workers):
@@ -151,8 +168,11 @@ class StreamWorkerPool:
         from .streaming import write_rows_csv
 
         ek = self.eval_kwargs
-        _, total_frames, _ = read_wav_info(audio_filepath)
-        sample_size = int(ek["sample_duration"] * ek["input_sample_rate"])
+        # chunk indices are defined by evaluate_audio in the file's NATIVE
+        # rate (streaming.py:76-84) — a resampled file framed at the model
+        # rate here would mis-count chunks and silently drop its tail
+        og_rate, total_frames, _ = read_wav_info(audio_filepath)
+        sample_size = int(ek["sample_duration"] * og_rate)
         n_chunks = max(1, -(-total_frames // (ek["batch_size"] * sample_size)))
         n_w = min(self.workers, n_chunks)
         # contiguous spans, remainder spread over the first workers
@@ -175,11 +195,19 @@ class StreamWorkerPool:
                 },
             )
         rows: List[dict] = []
-        for wi in range(n_w):
-            msg = self._recv(wi)
-            rows.extend(load_rows(msg["rows_out"]))
-            os.unlink(msg["rows_out"])
-        os.rmdir(tmp)
+        try:
+            for msg in self._recv_all(range(n_w)):
+                rows.extend(load_rows(msg["rows_out"]))
+        finally:
+            for wi in range(n_w):
+                try:
+                    os.unlink(os.path.join(tmp, f"rows{wi}.npz"))
+                except OSError:
+                    pass
+            try:
+                os.rmdir(tmp)
+            except OSError:
+                pass
         os.makedirs(output_dir, exist_ok=True)
         return write_rows_csv(
             rows, ek["idx2class_map"], audio_filepath, output_dir
@@ -187,8 +215,30 @@ class StreamWorkerPool:
 
     def evaluate_dir(self, paths: Sequence[str], output_dir: str) -> int:
         """Shard ``paths`` across workers; each worker streams whole files and
-        writes their CSVs. Returns the number of files processed."""
-        shards = [list(paths[i :: self.workers]) for i in range(self.workers)]
+        writes their CSVs. Returns the number of files processed.
+
+        Shards are balanced by file duration (greedy longest-first onto the
+        least-loaded worker, from the WAV headers): index round-robin would
+        serialize a duration-skewed directory on one unlucky worker.
+        Unreadable headers count as 0 frames — the worker surfaces the real
+        error for that file in its job result."""
+        from ..data.wavio import read_wav_info
+
+        def _frames(p: str) -> int:
+            try:
+                return read_wav_info(p)[1]
+            except Exception:
+                return 0
+
+        nframes = {p: _frames(p) for p in paths}
+        frames = nframes.__getitem__
+        order = sorted(paths, key=frames, reverse=True)
+        shards: List[List[str]] = [[] for _ in range(self.workers)]
+        load = [0] * self.workers
+        for p in order:
+            wi = load.index(min(load))
+            shards[wi].append(p)
+            load[wi] += frames(p)
         live = []
         for wi, shard in enumerate(shards):
             if shard:
@@ -196,10 +246,7 @@ class StreamWorkerPool:
                     wi, {"op": "files", "paths": shard, "output_dir": output_dir}
                 )
                 live.append(wi)
-        done = 0
-        for wi in live:
-            done += int(self._recv(wi)["n"])
-        return done
+        return sum(int(m["n"]) for m in self._recv_all(live))
 
     def close(self) -> None:
         for p in self._procs:
@@ -208,7 +255,15 @@ class StreamWorkerPool:
             except Exception:
                 pass
         for p in self._procs:
-            p.wait(timeout=30)
+            # a worker mid-chunk finishes its current job before seeing EOF;
+            # escalate to kill rather than raising out of close()/__exit__
+            # (which would mask the original in-body exception) or orphaning
+            # a process that holds a device client connection
+            try:
+                p.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                p.wait(timeout=10)
 
     def __enter__(self):
         return self

@@ -115,3 +115,28 @@ def test_pool_directory_matches_per_file(pool, tmp_path):
         b_path = os.path.join(out_pool, "clips", f"f{i}_results.csv")
         with open(a_path) as a, open(b_path) as b:
             assert a.read() == b.read(), f"f{i} CSVs differ"
+
+
+def test_pool_single_file_non_native_rate(pool, tmp_path):
+    """A file at half the model rate: chunk indices are defined in the
+    file's NATIVE rate (streaming.py:76-84), so the pool must size its
+    chunk spans from the WAV header rate — sizing them at the model rate
+    under-counts chunks and silently drops the tail of the file."""
+    wav = str(tmp_path / "slow.wav")
+    events = [(2.0 + 6 * i, 4.5 + 6 * i, ["tone", "beep"][i % 2])
+              for i in range(5)]  # events through ~34.5 s
+    write_wav(wav, synth_clip(4000, 40.0, events, seed=11), 4000)
+
+    infer_fn, _ = pool_factory.build(seed=0)
+    out_single = str(tmp_path / "single")
+    os.makedirs(out_single)
+    evaluate_audio(infer_fn, wav, out_single, **EVAL_KWARGS)
+
+    out_pool = str(tmp_path / "pooled")
+    csv_path = pool.evaluate_file(wav, out_pool)
+    single_csv = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(out_single) for f in fs if f.endswith(".csv")
+    ][0]
+    with open(single_csv) as a, open(csv_path) as b:
+        assert a.read() == b.read()
