@@ -3,3 +3,8 @@ from .streaming import evaluate_audio, evaluate_files_batched, rle_merge  # noqa
 from .runner import evaluate_dir  # noqa: F401
 from .eval_map import event_average_precision, event_map  # noqa: F401
 from .pool import StreamWorkerPool  # noqa: F401
+from .export import (  # noqa: F401
+    build_serving_exported,
+    load_serving_artifact,
+    save_serving_artifact,
+)
