@@ -174,6 +174,38 @@ class _ConvParams(nn.Module):
         return kernel, bias
 
 
+def _int8_conv(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array],
+    s_x: jax.Array,
+    strides: Tuple[int, int],
+    pad: Tuple[int, int],
+) -> jax.Array:
+    """Symmetric int8 conv: ``y = conv(q(x), q(w)) * (s_x * s_w) + b``.
+
+    Zero point is 0, so the symmetric zero padding is exact in the quantized
+    domain. Weights use per-output-channel scales (absmax/127); activations
+    use the calibrated static per-tensor scale ``s_x``. Accumulation is
+    int32 on the MXU; the requant multiply and bias add fuse into the
+    epilogue. Output dtype follows the incoming activation dtype."""
+    out_dt = x.dtype
+    xf = x.astype(jnp.float32)
+    xq = jnp.clip(jnp.round(xf / s_x), -127.0, 127.0).astype(jnp.int8)
+    s_w = jnp.maximum(
+        jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-12) / 127.0  # (C_out,)
+    wq = jnp.clip(jnp.round(kernel / s_w), -127.0, 127.0).astype(jnp.int8)
+    acc = jax.lax.conv_general_dilated(
+        xq, wq, strides, [(pad[0], pad[0]), (pad[1], pad[1])],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * (s_x * s_w)
+    if bias is not None:
+        y = y + bias
+    return y.astype(out_dt)
+
+
 class Conv2d(nn.Module):
     """Torch-flavoured conv wrapper: explicit symmetric padding, HWIO kernels.
 
@@ -195,6 +227,33 @@ class Conv2d(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         ph, pw = _pair(self.padding)
         kh, kw = _pair(self.kernel_size)
+
+        # --- int8 post-training quantization hooks (models/quant.py) -------
+        # Calibration: when a "quant_stats" collection is mutable (only the
+        # calibration pass does this), record this conv's input absolute max.
+        # sow() is a no-op otherwise, and the unused max() is dead-code
+        # eliminated from ordinary jitted programs.
+        if self.is_mutable_collection("quant_stats"):
+            self.sow(
+                "quant_stats", "in_absmax",
+                jnp.max(jnp.abs(x.astype(jnp.float32))),
+                init_fn=lambda: jnp.zeros((), jnp.float32),
+                reduce_fn=jnp.maximum,
+            )
+        # Execution: a calibrated "quant" collection entry at this conv's
+        # path (s_x = input absmax / 127) switches it to int8 x int8 -> int32
+        # (v5e MXU int8 peak is 2x bf16). Per-output-channel symmetric weight
+        # scales are derived from the fp32 params at trace time (params are
+        # untouched — the same checkpoint serves float and int8). Absent the
+        # collection this is inert.
+        if self.has_variable("quant", "s_x"):
+            s_x = self.get_variable("quant", "s_x")
+            kernel, bias = _ConvParams(
+                self.features, (kh, kw), x.shape[-1], self.use_bias,
+                name="conv")()
+            return _int8_conv(
+                x, kernel, bias, s_x, _pair(self.strides), (ph, pw))
+
         fold = self.s2d
         if fold is not None:
             fh, fw = fold

@@ -43,6 +43,9 @@ def main():
                         help="NMS IoU threshold")
     parser.add_argument("--conf_threshold", type=float, default=0.05, metavar="",
                         help="confidence floor for scored detections")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 detector body, scales calibrated on the "
+                             "first split files (models/quant.py)")
     args = parser.parse_args()
 
     cfg = load_config(args.config)
@@ -68,8 +71,16 @@ def main():
     )
     ds.class2idx = class2idx  # evaluate against the training vocabulary
 
+    int8_calib = None
+    if args.int8:
+        from inference import load_calib_batch
+
+        int8_calib = load_calib_batch(
+            [ds.audio_span(i)[0] for i in range(min(4, len(ds)))], cfg
+        )
     infer_fn = build_inference(
-        cfg, num_classes, model_path, args.iou_threshold, args.conf_threshold
+        cfg, num_classes, model_path, args.iou_threshold, args.conf_threshold,
+        int8_calib=int8_calib,
     )
 
     from audioyolo_tpu.infer.decode import unpack_detections

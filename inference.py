@@ -64,11 +64,17 @@ def load_model_variables(model: AudioDetectionModel, model_path: str):
 
 
 def build_inference(cfg, num_classes, model_path, iou_threshold, conf_threshold,
-                    fold: bool = True, dtype=None, ref_exact: bool = False):
+                    fold: bool = True, dtype=None, ref_exact: bool = False,
+                    int8_calib=None):
     """``ref_exact=True`` runs imported reference checkpoints in the exact
     form they were trained/evaluated in: per-branch RepVGG LeakyReLU and no
     fold (the reference CLI never folds — SURVEY.md §3.3; and folding is not
-    numerics-preserving under per-branch activation)."""
+    numerics-preserving under per-branch activation).
+
+    ``int8_calib``: an optional model-input batch (waveform or framed); when
+    given, the detector body runs int8 on the MXU with scales calibrated on
+    it (models/quant.py — stem and prediction heads stay float; demo-model
+    event mAP is unchanged, docs/PERFORMANCE.md)."""
     if ref_exact:
         fold = False
     train_model = AudioDetectionModel.from_config(
@@ -82,11 +88,45 @@ def build_inference(cfg, num_classes, model_path, iou_threshold, conf_threshold,
         )
     else:
         model = train_model
+    if int8_calib is not None:
+        if not fold:
+            raise ValueError("--int8 requires the folded model (drop --no_fold/--ref_exact)")
+        from audioyolo_tpu.models.quant import calibrate_quant
+
+        variables = {
+            **variables,
+            "quant": calibrate_quant(model, variables, [int8_calib]),
+        }
     keep_k = int(cfg.raw.get("tpu_config", {}).get("nms_keep", 128))
     # packed output: one device->host buffer per chunk (see infer/decode.py)
     return make_inference_fn(
         model, variables, iou_threshold, conf_threshold, keep_k, packed=True
     )
+
+
+def load_calib_batch(paths, cfg, frame_fn=None, n_clips: int = 4):
+    """Read the first ``n_clips`` sample-duration windows from ``paths``
+    (zero-padded tails) as a float32 model-input batch for int8 calibration."""
+    import numpy as np
+
+    from audioyolo_tpu.data.wavio import read_wav
+
+    size = int(cfg.clip_samples)
+    clips = []
+    for p in paths:
+        audio, _ = read_wav(p, num_frames=size * n_clips)
+        audio = audio.reshape(-1)
+        n = min(n_clips - len(clips), max(1, int(np.ceil(audio.size / size))))
+        buf = np.zeros((n, size), np.float32)
+        flat = audio[: n * size].astype(np.float32)
+        buf.reshape(-1)[: flat.size] = flat
+        clips.extend(buf)
+        if len(clips) >= n_clips:
+            break
+    if not clips:
+        raise ValueError("no calibration audio found")
+    batch = np.stack(clips)[:, None, :]
+    return frame_fn(batch[:, 0, :]) if frame_fn is not None else batch
 
 
 def build_frame_fn(cfg):
@@ -105,17 +145,23 @@ def build_frame_fn(cfg):
 
 def build_worker(config, model_path, class_map_path, iou_threshold,
                  conf_threshold, fold=True, bf16=False, ref_exact=False,
-                 framed_input=False):
+                 framed_input=False, int8_calib_path=None):
     """Worker-side factory for the streaming pool (``infer/pool.py``):
     rebuilds the model from its checkpoint inside the worker process and
     returns ``(infer_fn, frame_fn)``."""
     cfg = load_config(config)
     idx2class = get_label_map(class_map_path)
+    frame_fn = build_frame_fn(cfg) if framed_input else None
+    calib = (
+        load_calib_batch([int8_calib_path], cfg, frame_fn=frame_fn)
+        if int8_calib_path else None
+    )
     infer_fn = build_inference(
         cfg, len(idx2class), model_path, iou_threshold, conf_threshold,
         fold=fold, dtype=jnp.bfloat16 if bf16 else None, ref_exact=ref_exact,
+        int8_calib=calib,
     )
-    return infer_fn, (build_frame_fn(cfg) if framed_input else None)
+    return infer_fn, frame_fn
 
 
 def main():
@@ -146,6 +192,11 @@ def main():
                              "checkpoints (per-branch RepVGG activation, no fold)")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute for the detector body")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 detector body on the MXU (scales "
+                             "calibrated on the first windows of the input; "
+                             "stem + prediction heads stay float — "
+                             "models/quant.py)")
     parser.add_argument("--framed_input", action="store_true",
                         help="host-frame clips for the fused frontend (more "
                              "transfer bytes, less device work — only wins on "
@@ -162,6 +213,17 @@ def main():
         raise FileNotFoundError(f"{class_map_path} does not exist")
     idx2class = get_label_map(class_map_path)
 
+    def _first_input_path():
+        if args.audio_filepath:
+            return args.audio_filepath
+        ext = args.extension.replace(".", "")
+        names = sorted(
+            f for f in os.listdir(args.audio_dir) if f.endswith(f".{ext}")
+        )
+        if not names:
+            raise OSError(f"no .{ext} files in {args.audio_dir}")
+        return os.path.join(args.audio_dir, names[0])
+
     if args.workers > 1:
         from audioyolo_tpu.infer.pool import StreamWorkerPool
 
@@ -171,6 +233,7 @@ def main():
             conf_threshold=args.conf_threshold, fold=not args.no_fold,
             bf16=args.bf16, ref_exact=args.ref_exact,
             framed_input=args.framed_input,
+            int8_calib_path=_first_input_path() if args.int8 else None,
         )
         eval_kwargs = dict(
             input_sample_rate=cfg.sample_rate,
@@ -196,17 +259,22 @@ def main():
                 pool.evaluate_dir(paths, args.output_dir)
         return
 
+    frame_fn = build_frame_fn(cfg) if args.framed_input else None
     infer_fn = build_inference(
         cfg, len(idx2class), model_path, args.iou_threshold, args.conf_threshold,
         fold=not args.no_fold, dtype=jnp.bfloat16 if args.bf16 else None,
         ref_exact=args.ref_exact,
+        int8_calib=(
+            load_calib_batch([_first_input_path()], cfg, frame_fn=frame_fn)
+            if args.int8 else None
+        ),
     )
     kwargs = dict(
         input_sample_rate=cfg.sample_rate,
         sample_duration=cfg.sample_duration,
         batch_size=batch_size,
         idx2class_map=idx2class,
-        frame_fn=build_frame_fn(cfg) if args.framed_input else None,
+        frame_fn=frame_fn,
     )
     if args.audio_filepath:
         if not os.path.isfile(args.audio_filepath):

@@ -1,0 +1,110 @@
+"""Int8 PTQ (models/quant.py + layers._int8_conv): calibration, selection,
+numerics, and inertness when no quant collection is supplied."""
+
+import copy
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audioyolo_tpu.config import Config
+from audioyolo_tpu.models import AudioDetectionModel
+from audioyolo_tpu.models.quant import (
+    DEFAULT_EXCLUDE,
+    calibrate_quant,
+    quantized_paths,
+)
+
+from synth import synth_clip
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    from conftest import TINY_CFG
+
+    cfg = Config(copy.deepcopy(TINY_CFG))
+    model = AudioDetectionModel.from_config(cfg, num_classes=2)
+    dur = float(cfg.sample_duration)
+    x = np.stack([
+        synth_clip(8000, dur, [(0.5, 1.5, "tone"), (2.0, 3.0, "beep")], seed=i)
+        for i in range(2)
+    ])[:, None, :].astype(np.float32)
+    v = jax.jit(lambda r, a: model.init(r, a, train=False))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x[:1]
+    )
+    return cfg, model, v, x
+
+
+def test_int8_close_to_float(tiny):
+    """Full-body quantization (no exclusions) keeps decoded predictions
+    within ~1% of float range — the absmax symmetric scheme is sane."""
+    cfg, model, v, x = tiny
+    col = calibrate_quant(model, v, [x], exclude=())
+    y_f = np.asarray(model.apply(v, x, train=False, combine_scales=True))
+    y_q = np.asarray(
+        model.apply({**v, "quant": col}, x, train=False, combine_scales=True)
+    )
+    scale = np.abs(y_f).max()
+    assert np.abs(y_f - y_q).max() < 0.02 * scale
+
+
+def test_default_exclusions(tiny):
+    """The stem conv and the three prediction-emitting RepBlocks stay float
+    under DEFAULT_EXCLUDE; body convs are quantized."""
+    cfg, model, v, x = tiny
+    col = calibrate_quant(model, v, [x])
+    paths = quantized_paths(col)
+    assert paths, "nothing quantized"
+    joined = ["/".join([p]) for p in paths]
+    for p in joined:
+        for pat in DEFAULT_EXCLUDE:
+            assert pat not in p + "/", f"{p} should have been excluded ({pat})"
+    assert any("feature_extractor/" in p for p in joined)
+    assert any("multiscale_module/" in p for p in joined)
+
+
+def test_no_collection_is_inert(tiny):
+    """Without a quant collection the model output is bit-identical to the
+    pre-quant-support behavior (the sow/gate hooks add nothing)."""
+    cfg, model, v, x = tiny
+    y1 = np.asarray(model.apply(v, x, train=False, combine_scales=True))
+    y2 = np.asarray(model.apply(v, x, train=False, combine_scales=True))
+    np.testing.assert_array_equal(y1, y2)
+
+
+def test_calibration_is_max_over_batches(tiny):
+    """Scales come from the max over all calibration batches, not the last."""
+    cfg, model, v, x = tiny
+    big = x * 4.0
+    col_small_then_big = calibrate_quant(model, v, [x, big], exclude=())
+    col_big_then_small = calibrate_quant(model, v, [big, x], exclude=())
+    a = jax.tree.leaves(col_small_then_big)
+    b = jax.tree.leaves(col_big_then_small)
+    for la, lb in zip(a, b):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb))
+
+
+def test_quantized_deploy_event_parity(tiny):
+    """Quantized deploy model under the DEFAULT_EXCLUDE selection: decoded
+    boxes stay close enough that thresholded detections match float on
+    synthetic clips (the demo-scale mAP check lives in docs/PERFORMANCE.md)."""
+    from audioyolo_tpu.infer.decode import make_inference_fn, unpack_detections
+
+    cfg, model, v, x = tiny
+    col = calibrate_quant(model, v, [x])
+    qv = {**v, "quant": col}
+    f_live = make_inference_fn(model, v, 0.1, 0.05, keep_k=16, packed=True)
+    q_live = make_inference_fn(model, qv, 0.1, 0.05, keep_k=16, packed=True)
+    df = unpack_detections(np.asarray(f_live(x)))
+    dq = unpack_detections(np.asarray(q_live(x)))
+    # untrained net: near-tied scores can reorder NMS survivors, so compare
+    # the per-clip survivor sets (sorted centers), not slot-for-slot
+    assert abs(int(df["valid"].sum()) - int(dq["valid"].sum())) <= 2
+    for i in range(x.shape[0]):
+        cf = np.sort(df["center"][i][df["valid"][i]])
+        cq = np.sort(dq["center"][i][dq["valid"][i]])
+        n = min(len(cf), len(cq))
+        assert n > 0
+        assert np.abs(cf[:n] - cq[:n]).max() < 0.05

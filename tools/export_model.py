@@ -48,6 +48,10 @@ def main() -> None:
                    help="export the phase-grouped-frames entry "
                         "(host runs SpectralFrontend.frame_host)")
     p.add_argument("--bf16", action="store_true", help="bf16 detector body")
+    p.add_argument("--int8_body", type=str, default="", metavar="",
+                   help="wav file to calibrate an int8 detector body on; "
+                        "the quantized form is baked into the artifact "
+                        "(models/quant.py)")
     args = p.parse_args()
 
     from inference import get_label_map, load_model_variables
@@ -71,6 +75,12 @@ def main() -> None:
     model = AudioDetectionModel.from_config(
         cfg, num_classes=len(idx2class), deploy=True, dtype=dtype
     )
+    if args.int8_body:
+        from inference import load_calib_batch
+        from audioyolo_tpu.models.quant import calibrate_quant
+
+        calib = load_calib_batch([args.int8_body], cfg)
+        variables = {**variables, "quant": calibrate_quant(model, variables, [calib])}
 
     frame_shape = None
     if args.framed:
@@ -108,6 +118,7 @@ def main() -> None:
             "conf_threshold": args.conf_threshold,
             "framed": bool(args.framed),
             "body_dtype": "bfloat16" if args.bf16 else "float32",
+            "int8_body": bool(args.int8_body),
         },
     )
     sz = os.path.getsize(args.output)
