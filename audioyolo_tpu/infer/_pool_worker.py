@@ -56,15 +56,26 @@ def _worker_main() -> int:
                 save_rows(job["rows_out"], rows)
                 out = {"ok": True, "rows_out": job["rows_out"]}
             elif job["op"] == "files":
+                # per-file isolation: one bad file must not abort the rest
+                # of the shard (the threaded runner path surfaces per-file
+                # errors after the others complete — same contract here)
+                n_ok, errors = 0, []
                 for p in job["paths"]:
-                    evaluate_audio(
-                        infer_fn,
-                        p,
-                        job["output_dir"],
-                        _resampler_cache=resampler_cache,
-                        **ek,
-                    )
-                out = {"ok": True, "n": len(job["paths"])}
+                    try:
+                        evaluate_audio(
+                            infer_fn,
+                            p,
+                            job["output_dir"],
+                            _resampler_cache=resampler_cache,
+                            **ek,
+                        )
+                        n_ok += 1
+                    except Exception as e:
+                        import traceback
+
+                        traceback.print_exc(file=sys.stderr)
+                        errors.append({"path": p, "error": f"{type(e).__name__}: {e}"})
+                out = {"ok": True, "n": n_ok, "errors": errors}
             else:
                 out = {"ok": False, "error": "unknown op %r" % (job["op"],)}
         except Exception as e:  # report, keep serving

@@ -246,7 +246,18 @@ class StreamWorkerPool:
                     wi, {"op": "files", "paths": shard, "output_dir": output_dir}
                 )
                 live.append(wi)
-        return sum(int(m["n"]) for m in self._recv_all(live))
+        msgs = self._recv_all(live)
+        done = sum(int(m["n"]) for m in msgs)
+        errors = [e for m in msgs for e in m.get("errors", [])]
+        if errors:
+            # all readable files are already processed and written; now
+            # surface the failures (same after-the-others contract as the
+            # threaded runner path)
+            detail = "; ".join(f"{e['path']}: {e['error']}" for e in errors)
+            raise RuntimeError(
+                f"{len(errors)} file(s) failed ({done} succeeded): {detail}"
+            )
+        return done
 
     def close(self) -> None:
         for p in self._procs:

@@ -40,7 +40,8 @@ import jax.numpy as jnp
 # neck's output RepBlocks emit the raw YOLO predictions that decode reads
 # (first/last-layer precision is the standard PTQ concession).
 DEFAULT_EXCLUDE = (
-    "feature_extractor/conv1/",  # ResNet + s2d stem (backbone.py:102)
+    "feature_extractor/conv1/",  # ResNet s2d stem conv (backbone.py:102)
+    "feature_extractor/conv2/",  # second 7x7/s2 stem conv (backbone.py:103)
     "feature_extractor/first_conv/",  # CustomBackbone stem (backbone.py:188)
     "rep_block2_1", "rep_block3_2", "rep_block4_1",  # prediction emitters
 )

@@ -106,19 +106,35 @@ def build_inference(cfg, num_classes, model_path, iou_threshold, conf_threshold,
 
 def load_calib_batch(paths, cfg, frame_fn=None, n_clips: int = 4):
     """Read the first ``n_clips`` sample-duration windows from ``paths``
-    (zero-padded tails) as a float32 model-input batch for int8 calibration."""
+    (zero-padded tails) as a float32 model-input batch for int8 calibration.
+
+    Files are downmixed to mono and rate-converted to ``cfg.sample_rate``
+    (linear interpolation — calibration only needs absmax-accurate
+    amplitudes, not audiophile resampling), matching the windows the
+    inference path actually feeds the model for such files."""
     import numpy as np
 
-    from audioyolo_tpu.data.wavio import read_wav
+    from audioyolo_tpu.data.wavio import read_wav, read_wav_info
 
     size = int(cfg.clip_samples)
+    rate = int(cfg.sample_rate)
     clips = []
     for p in paths:
-        audio, _ = read_wav(p, num_frames=size * n_clips)
-        audio = audio.reshape(-1)
-        n = min(n_clips - len(clips), max(1, int(np.ceil(audio.size / size))))
+        og_rate = read_wav_info(p)[0]
+        need_src = int(np.ceil(size * n_clips * og_rate / rate))
+        audio, _ = read_wav(p, num_frames=need_src)
+        if audio.shape[0] != 1:  # (C, S) -> mono downmix like streaming.py
+            audio = audio.mean(axis=0, keepdims=True)
+        mono = audio[0].astype(np.float32)
+        if og_rate != rate:
+            n_out = int(mono.size * rate / og_rate)
+            mono = np.interp(
+                np.arange(n_out) * (og_rate / rate),
+                np.arange(mono.size), mono,
+            ).astype(np.float32)
+        n = min(n_clips - len(clips), max(1, int(np.ceil(mono.size / size))))
         buf = np.zeros((n, size), np.float32)
-        flat = audio[: n * size].astype(np.float32)
+        flat = mono[: n * size]
         buf.reshape(-1)[: flat.size] = flat
         clips.extend(buf)
         if len(clips) >= n_clips:

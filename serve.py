@@ -23,7 +23,8 @@ bottleneck, not the HTTP layer). For parallel bulk ingest use the CLI's
 ``--workers`` process pool instead.
 
 Usage:
-  python serve.py --config config/config.yaml [--port 8700] [--bf16] [--int8]
+  python serve.py --config config/config.yaml [--port 8700] [--bf16] \
+      [--int8_calib calib.wav]
 """
 
 from __future__ import annotations
@@ -77,6 +78,10 @@ def build_app_state(args) -> dict:
         "batch_size": args.batch_size or int(tc["batch_size"]),
         "lock": threading.Lock(),
         "config_path": args.config,
+        # persistent polyphase-kernel cache: rebuilding the sinc matrix per
+        # non-native-rate request would waste the 1-core host inside the
+        # serialized infer region (same pattern as infer/_pool_worker.py)
+        "resampler_cache": {},
     }
 
 
@@ -96,6 +101,7 @@ def detect_wav_bytes(state: dict, body: bytes) -> dict:
                 idx2class_map=state["idx2class"],
                 frame_fn=state["frame_fn"],
                 return_rows=True,
+                _resampler_cache=state.get("resampler_cache"),
             )
     finally:
         os.unlink(path)

@@ -66,12 +66,20 @@ def test_default_exclusions(tiny):
 
 
 def test_no_collection_is_inert(tiny):
-    """Without a quant collection the model output is bit-identical to the
-    pre-quant-support behavior (the sow/gate hooks add nothing)."""
+    """The quant hooks must not perturb outputs: a calibration apply (sow
+    active, quant_stats mutable) returns bit-identical predictions to the
+    plain apply, and the plain apply mutates/declares no quant state."""
     cfg, model, v, x = tiny
-    y1 = np.asarray(model.apply(v, x, train=False, combine_scales=True))
-    y2 = np.asarray(model.apply(v, x, train=False, combine_scales=True))
-    np.testing.assert_array_equal(y1, y2)
+    y_plain = np.asarray(model.apply(v, x, train=False, combine_scales=True))
+    y_calib, mutated = model.apply(
+        v, x, train=False, combine_scales=True, mutable=["quant_stats"]
+    )
+    np.testing.assert_array_equal(y_plain, np.asarray(y_calib))
+    assert "quant_stats" in mutated and mutated["quant_stats"]
+    # plain apply declares nothing mutable -> identical repeated output
+    np.testing.assert_array_equal(
+        y_plain, np.asarray(model.apply(v, x, train=False, combine_scales=True))
+    )
 
 
 def test_calibration_is_max_over_batches(tiny):
@@ -108,3 +116,27 @@ def test_quantized_deploy_event_parity(tiny):
         n = min(len(cf), len(cq))
         assert n > 0
         assert np.abs(cf[:n] - cq[:n]).max() < 0.05
+
+
+def test_load_calib_batch_resamples_and_downmixes(tiny, tmp_path):
+    """Calibration windows must be at the model rate and mono: a stereo
+    half-rate file yields full-length windows whose absmax matches the
+    source amplitude (not channel-concatenated 2x-speed garbage)."""
+    from audioyolo_tpu.data.wavio import write_wav
+
+    cfg, model, v, x = tiny
+    sr_model = int(cfg.sample_rate)
+    sr_file = sr_model // 2
+    t = np.arange(int(3.0 * sr_file)) / sr_file
+    wave = 0.5 * np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+    stereo = np.stack([wave, -wave * 0.8])  # distinct channels
+    p = str(tmp_path / "half_stereo.wav")
+    write_wav(p, stereo, sr_file)
+
+    import inference as inf
+
+    batch = inf.load_calib_batch([p], cfg, n_clips=1)
+    assert batch.shape == (1, 1, int(cfg.clip_samples))
+    # mono downmix of (w, -0.8w) = 0.1w -> absmax ~0.05, not ~0.5
+    amax = float(np.abs(batch).max())
+    assert 0.03 < amax < 0.07, amax

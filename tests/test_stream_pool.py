@@ -140,3 +140,25 @@ def test_pool_single_file_non_native_rate(pool, tmp_path):
     ][0]
     with open(single_csv) as a, open(csv_path) as b:
         assert a.read() == b.read()
+
+
+def test_pool_directory_corrupt_file_isolated(pool, tmp_path):
+    """One unreadable file must not abort its worker's shard: the readable
+    files are processed and written first, then the failure is surfaced."""
+    adir = tmp_path / "mixed"
+    adir.mkdir()
+    good = []
+    for i in range(3):
+        p = str(adir / f"g{i}.wav")
+        _long_wav(p, 9.0 + i, seed=40 + i)
+        good.append(p)
+    bad = str(adir / "bad.wav")
+    with open(bad, "wb") as f:
+        f.write(b"RIFFgarbage-not-a-wav")
+
+    out = str(tmp_path / "out")
+    with pytest.raises(RuntimeError, match="bad.wav"):
+        pool.evaluate_dir(good + [bad], out)
+    # every readable file still produced its CSV before the raise
+    for i in range(3):
+        assert os.path.isfile(os.path.join(out, "mixed", f"g{i}_results.csv"))
