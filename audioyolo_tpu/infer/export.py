@@ -125,6 +125,12 @@ def load_serving_artifact(
     with zipfile.ZipFile(path) as z:
         blob = z.read("model.stablehlo")
         meta = json.loads(z.read("meta.json"))
+    ver = meta.get("artifact_version")
+    if ver != ARTIFACT_VERSION:
+        raise ValueError(
+            f"unsupported artifact version {ver!r} (this loader handles "
+            f"{ARTIFACT_VERSION}) — re-export with tools/export_model.py"
+        )
     meta["idx2class_map"] = {int(k): v for k, v in meta["idx2class_map"].items()}
     exported = jax.export.deserialize(blob)
     call = jax.jit(exported.call)
