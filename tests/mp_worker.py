@@ -85,7 +85,20 @@ trainer = TrainerPipeline(
     metrics_path=os.path.join(model_dir, "metrics"), model_path=model_dir,
 )
 
-state = trainer.create_state(ds[0]["audio"][None])
+# create_state's replicated device_put of a host numpy pytree runs jax's
+# cross-process assert_equal — a process_allgather, i.e. THE first gloo
+# collective of the run, with gloo's hard ~30 s pairwise context-init
+# window. It executes long before the explicit pre-step barrier below, so
+# it must get its own barrier (and retry: a context-init timeout fails both
+# sides, which then meet again at the next barrier).
+for _attempt in range(4):
+    _client.wait_at_barrier(f"ayt_state_{_attempt}", timeout_in_ms=900_000)
+    try:
+        state = trainer.create_state(ds[0]["audio"][None])
+        break
+    except Exception:
+        if _attempt == 3:
+            raise
 
 # AOT-compile the sharded step before any collective executes (compilation is
 # per-process local; only execution rendezvouses through gloo), then barrier
@@ -94,6 +107,36 @@ trainer._build_steps()
 peek = trainer._put_batch(next(iter(loader)))
 trainer._train_step.lower(state, *peek).compile()
 _client.wait_at_barrier("ayt_compiled", timeout_in_ms=900_000)
+
+# Establish the gloo communicator clique NOW, microseconds after the
+# barrier, with a trivial cross-host psum — gloo context init has a hard
+# ~30 s pairwise rendezvous window, and the real first step sits behind
+# tens of seconds of asymmetric host work (wav reads, collate) on a loaded
+# 1-core machine. Once the context exists, later collectives reuse it.
+# Context init is idempotent, so a timeout (the other process descheduled)
+# is simply retried at a fresh barrier.
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+_repl = NamedSharding(mesh, P())
+_ga = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P("data")), np.ones((2,), np.float32)
+)
+_warm = jax.jit(lambda a: a.sum(), out_shardings=_repl)
+for _attempt in range(4):
+    # barrier immediately before every attempt so both sides enter the
+    # rendezvous together; a pairwise init timeout fails both sides, so
+    # both loop around to the next barrier (divergence would park one
+    # process at a barrier until its 15-min budget expires, which the
+    # test-level process retry then handles)
+    _client.wait_at_barrier(f"ayt_gloo_{_attempt}", timeout_in_ms=900_000)
+    try:
+        assert float(_warm(_ga)) == 2.0 * nprocs
+        break
+    except Exception:
+        if _attempt == 3:
+            raise
 
 state, m1 = trainer.train(state, loader)
 
