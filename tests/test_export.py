@@ -110,3 +110,35 @@ def test_export_batch_shape_enforced(tiny, tmp_path):
     fn, _ = load_serving_artifact(p)
     with pytest.raises(Exception):
         fn(_clips(cfg, 3, seed=1))  # wrong leading batch dim must not run
+
+
+def test_export_framed_entry(tiny, tmp_path):
+    """Phase-grouped-frames entry: exporting the framed program and feeding
+    frame_host output must match the waveform entry's detections."""
+    from audioyolo_tpu.ops.frontend import SpectralFrontend
+
+    cfg, model, variables = tiny
+    fe = SpectralFrontend(cfg)
+    assert fe.fused is not None, "tiny config should be fused-eligible"
+    x = _clips(cfg, 2, seed=13)
+    framed = fe.frame_host(x[:, 0, :])
+
+    exp = build_serving_exported(
+        model, variables, 2, conf_threshold=0.05, keep_k=16,
+        framed=True, frame_shape=tuple(framed.shape[1:]), platforms=("cpu",),
+    )
+    p = str(tmp_path / "fr.aytx")
+    save_serving_artifact(p, exp, idx2class_map={0: "a", 1: "b"},
+                          sample_duration=cfg.sample_duration,
+                          input_sample_rate=8000)
+    fn, meta = load_serving_artifact(p)
+    assert meta["input_shape"] == [2, *framed.shape[1:]]
+    dets_fr = fn(framed)
+
+    live = make_inference_fn(model, variables, conf_threshold=0.05,
+                             keep_k=16, packed=True)
+    dets_wav = unpack_detections(np.asarray(live(x)))
+    assert (dets_fr["valid"] == dets_wav["valid"]).all()
+    m = dets_fr["valid"]
+    np.testing.assert_allclose(dets_fr["center"][m], dets_wav["center"][m],
+                               atol=1e-4)
