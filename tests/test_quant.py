@@ -140,3 +140,23 @@ def test_load_calib_batch_resamples_and_downmixes(tiny, tmp_path):
     # mono downmix of (w, -0.8w) = 0.1w -> absmax ~0.05, not ~0.5
     amax = float(np.abs(batch).max())
     assert 0.03 < amax < 0.07, amax
+
+
+def test_int8_under_mesh_sharding(tiny):
+    """Quantized variables flow through make_inference_fn(mesh=...): the
+    8-device batch-sharded int8 program matches the unsharded int8 one."""
+    from audioyolo_tpu.infer.decode import make_inference_fn
+    from audioyolo_tpu.parallel import make_mesh
+
+    cfg, model, v, x = tiny
+    col = calibrate_quant(model, v, [x], exclude=())
+    qv = {**v, "quant": col}
+    big = np.concatenate([x] * 4)  # 8 clips over 8 devices
+
+    f1 = make_inference_fn(model, qv, 0.1, 0.05, keep_k=16)
+    f8 = make_inference_fn(model, qv, 0.1, 0.05, keep_k=16, mesh=make_mesh(8))
+    d1 = {k: np.asarray(val) for k, val in f1(big).items()}
+    d8 = {k: np.asarray(val) for k, val in f8(big).items()}
+    assert (d1["valid"] == d8["valid"]).all()
+    np.testing.assert_allclose(d1["center"], d8["center"], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(d1["confidence"], d8["confidence"], rtol=2e-4, atol=1e-5)
