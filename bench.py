@@ -229,7 +229,9 @@ def bench_train_step(cfg):
         multi_label=True, label_smoothing=0.08, box_w=0.1, class_w=0.3, anchor_t=5,
     )
     tx = make_optimizer(tc["optimizer_config"], tc["lr_scheduler_config"], 100)
-    S = 4  # optimizer steps fused per dispatch (semantics tested identical)
+    # optimizer steps fused per dispatch (semantics tested identical);
+    # BENCH_TRAIN_S overrides for A/B sweeps without editing the file
+    S = int(os.environ.get("BENCH_TRAIN_S", "4"))
     trainer = TrainerPipeline(model, loss_fn, tx, use_ema=True,
                               ema_config=tc["ema_config"],
                               metrics_path="/tmp/bench_m", model_path="/tmp/bench_m",
