@@ -49,7 +49,8 @@ def _emit(metric, value, unit, vs=None):
     }))
 
 
-def _build_infer(cfg, block=None, layers=None, keep_k=128, packed=False, n_dispatch=1):
+def _build_infer(cfg, block=None, layers=None, keep_k=128, packed=False, n_dispatch=1,
+                 int8=False):
     from audioyolo_tpu.infer import make_inference_fn
     from audioyolo_tpu.infer.decode import make_multi_inference_fn
     from audioyolo_tpu.models import AudioDetectionModel, fold_repvgg
@@ -78,6 +79,20 @@ def _build_infer(cfg, block=None, layers=None, keep_k=128, packed=False, n_dispa
     deploy = AudioDetectionModel.from_config(
         raw, num_classes=NUM_CLASSES, deploy=True, dtype=jnp.bfloat16
     )
+    fe = SpectralFrontend(cfg)
+    frame_fn = fe.frame_host if fe.fused is not None else None
+    if int8:
+        # int8 PTQ body (models/quant.py): measured end-to-end at this exact
+        # posture (B=256, 4 batches/dispatch, tools/bench_int8.py):
+        # bf16 16.19 ms/batch vs int8 14.70 ms/batch — 1.10x, adopted per the
+        # whole-pipeline-A/B house rule. Detection-equivalent on the trained
+        # demo model (mAP@0.5 0.9461 vs 0.9474 float — docs/PERFORMANCE.md).
+        from audioyolo_tpu.models.quant import calibrate_quant
+
+        calib = (np.random.default_rng(7)
+                 .standard_normal((8, 1, cfg.clip_samples)).astype(np.float32) * 0.1)
+        calib = frame_fn(calib[:, 0, :]) if frame_fn is not None else calib
+        variables = {**variables, "quant": calibrate_quant(deploy, variables, [calib])}
     if n_dispatch > 1:
         # N forward+decode passes fused into ONE compiled dispatch: host
         # dispatch through the remote runtime costs ~3 ms/call (measured:
@@ -89,8 +104,6 @@ def _build_infer(cfg, block=None, layers=None, keep_k=128, packed=False, n_dispa
         )
     else:
         infer_fn = make_inference_fn(deploy, variables, 0.1, 0.2, keep_k, packed=packed)
-    fe = SpectralFrontend(cfg)
-    frame_fn = fe.frame_host if fe.fused is not None else None
     return infer_fn, frame_fn, raw
 
 
@@ -280,10 +293,11 @@ def main():
 
     cfg = load_config("config/config.yaml")
     N_DISPATCH = 4
-    infer_multi, frame_fn, _ = _build_infer(cfg, n_dispatch=N_DISPATCH)
+    infer_multi, frame_fn, _ = _build_infer(cfg, n_dispatch=N_DISPATCH, int8=True)
 
-    # headline (#2): batched offline inference, folded, bf16, framed input,
-    # 4 batches per host dispatch (see _build_infer)
+    # headline (#2): batched offline inference, folded, int8 PTQ body
+    # (bf16 stem/heads/frontend), framed input, 4 batches per host dispatch
+    # (see _build_infer)
     _emit("audio_seconds_per_sec_per_chip",
           bench_batched(cfg, infer_multi, frame_fn, n_dispatch=N_DISPATCH), "audio-s/s")
 
@@ -309,8 +323,10 @@ def main():
     # #4 training step throughput
     _emit("train_audio_seconds_per_sec", bench_train_step(cfg), "audio-s/s")
     # #5 scaled backbone (Bottleneck [3,4,6,3])
+    # int8 adopted here too: measured 1.114x end-to-end at this config
+    # (tools/bench_int8.py --scaled: bf16 632k vs int8 704k audio-s/s)
     infer50, frame50, _ = _build_infer(
-        cfg, block="Bottleneck", layers=[3, 4, 6, 3], n_dispatch=N_DISPATCH
+        cfg, block="Bottleneck", layers=[3, 4, 6, 3], n_dispatch=N_DISPATCH, int8=True
     )
     _emit("scaled_backbone_audio_seconds_per_sec",
           bench_batched(cfg, infer50, frame50, n_dispatch=N_DISPATCH), "audio-s/s")

@@ -6,7 +6,8 @@ with and without the calibrated int8 'quant' collection, on the real TPU.
 Adopt int8 into the bench posture only if THIS number improves — isolated
 segment timings mislead (docs/PERFORMANCE.md, round-2/3 lessons).
 
-Usage: python tools/bench_int8.py [batch] [n_dispatch]
+Usage: python tools/bench_int8.py [batch] [n_dispatch] [--scaled]
+(--scaled A/Bs the Bottleneck [3,4,6,3] scaled-backbone bench config.)
 """
 
 from __future__ import annotations
@@ -24,8 +25,10 @@ import jax.numpy as jnp  # noqa: E402
 
 
 def main() -> None:
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    n_dispatch = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    argv = [a for a in sys.argv[1:] if a != "--scaled"]
+    scaled = "--scaled" in sys.argv[1:]
+    batch = int(argv[0]) if len(argv) > 0 else 256
+    n_dispatch = int(argv[1]) if len(argv) > 1 else 4
 
     from audioyolo_tpu.config import Config, load_config
     from audioyolo_tpu.infer.decode import make_multi_inference_fn
@@ -35,6 +38,9 @@ def main() -> None:
 
     raw = load_config("config/config.yaml").to_dict()
     raw.setdefault("tpu_config", {})["frontend_precision"] = "default"
+    if scaled:
+        raw["resnet_config"] = {"block": "Bottleneck"}
+        raw["block_layers"] = [3, 4, 6, 3]
     cfg = Config(raw)
     num_classes = 2
 
