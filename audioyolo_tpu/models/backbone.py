@@ -15,7 +15,7 @@ Two families, mirroring reference ``modules/_backbone.py``:
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -81,9 +81,14 @@ class ResNetBackbone(nn.Module):
     # Space-to-depth stem (exact; layers.s2d_conv2d): the two 7x7/s2 stem convs
     # are channel-starved on the MXU (C_in=2: 17 TF/s measured on v5e) — the
     # 2x2 fold quadruples lane utilization at identical arithmetic. Parameters
-    # keep the reference 7x7 layout either way (tpu_config.s2d_stem: off to
-    # disable).
-    s2d_stem: bool = True
+    # keep the reference 7x7 layout either way. Modes (tpu_config.s2d_stem):
+    # "off" | "on" (conv1 only — the default) | "full" (also folds conv2 —
+    # measured NET-NEGATIVE end-to-end both for inference fwd AND for the
+    # train step (257.7k -> 234.2k audio-s/s at B=32/S=8): XLA's relayout
+    # copies for the folded 64-channel input outweigh the stride-1 grad
+    # convs; kept opt-in for other hardware, docs/PERFORMANCE.md round 3).
+    # Bools accepted for back-compat.
+    s2d_stem: Union[bool, str] = "on"
 
     @property
     def fmap_channels(self) -> Tuple[int, int, int, int]:
@@ -93,14 +98,20 @@ class ResNetBackbone(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> Tuple[jax.Array, ...]:
         blk = _BLOCKS[self.block]
-        # conv1 only: its C_in 2 -> 8 fold is a free bitcast on the incoming
-        # {0,3,2,1} layout and runs 2.1x faster (0.171 -> 0.081 ms at B=32).
-        # Folding conv2 (C_in 64 -> 256 or 128) was measured NET-NEGATIVE both
-        # ways: XLA inserts ~0.19 ms of relayout copies for the folded input
-        # that outweigh any MXU gain (docs/PERFORMANCE.md round 3).
-        f1 = (True, True) if self.s2d_stem else None
+        # conv1 ("on"/"full"): its C_in 2 -> 8 fold is a free bitcast on the
+        # incoming {0,3,2,1} layout and runs 2.1x faster (0.171 -> 0.081 ms at
+        # B=32). conv2 ("full" only): measured NET-NEGATIVE end-to-end both
+        # in inference fwd (~0.19 ms of relayout copies) and in training
+        # (257.7k -> 234.2k audio-s/s), even though its stride-2 data-grad
+        # is the hottest single train-step op — see class docstring.
+        mode = self.s2d_stem
+        if isinstance(mode, bool):
+            mode = "on" if mode else "off"
+        mode = str(mode).lower()
+        f1 = (True, True) if mode in ("on", "full") else None
+        f2 = (True, True) if mode == "full" else None
         x = Conv2d(64, 7, 2, 3, use_bias=False, dtype=self.dtype, s2d=f1, name="conv1")(x)
-        x = Conv2d(64, 7, 2, 3, use_bias=False, dtype=self.dtype, name="conv2")(x)
+        x = Conv2d(64, 7, 2, 3, use_bias=False, dtype=self.dtype, s2d=f2, name="conv2")(x)
         x = BatchNorm(dtype=self.dtype, name="bn1")(x, use_running_average=not train)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)

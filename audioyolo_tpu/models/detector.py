@@ -114,7 +114,7 @@ class AudioDetectionModel(nn.Module):
                 block_layers=tuple(self.config["block_layers"]),
                 dropout=float(self.config.get("dropout", 0.0)),
                 dtype=self.dtype,
-                s2d_stem=str(tpu_cfg.get("s2d_stem", "on")).lower() != "off",
+                s2d_stem=str(tpu_cfg.get("s2d_stem", "on")).lower(),
             )
         elif backbone == "custom":
             self.feature_extractor = CustomBackbone(

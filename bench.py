@@ -243,8 +243,11 @@ def bench_train_step(cfg):
     )
     tx = make_optimizer(tc["optimizer_config"], tc["lr_scheduler_config"], 100)
     # optimizer steps fused per dispatch (semantics tested identical);
-    # BENCH_TRAIN_S overrides for A/B sweeps without editing the file
-    S = int(os.environ.get("BENCH_TRAIN_S", "4"))
+    # BENCH_TRAIN_S overrides for A/B sweeps without editing the file.
+    # Sweep on the real chip (S=4/8/12 -> 239k/261k/258k audio-s/s): 8 is
+    # the knee — past it the marginal dispatch amortization loses to the
+    # longer program's scheduling overhead.
+    S = int(os.environ.get("BENCH_TRAIN_S", "8"))
     trainer = TrainerPipeline(model, loss_fn, tx, use_ema=True,
                               ema_config=tc["ema_config"],
                               metrics_path="/tmp/bench_m", model_path="/tmp/bench_m",

@@ -134,6 +134,27 @@ def test_s2d_conv_fallback_on_odd_extents(rng):
     )
 
 
+def test_s2d_stem_modes_equivalent(rng):
+    """ResNetBackbone's tpu_config.s2d_stem modes (off / on / full, plus
+    legacy bools) are numerically equivalent with identical param trees —
+    the fold is a pure layout reformulation (models/backbone.py)."""
+    from audioyolo_tpu.models.backbone import ResNetBackbone
+
+    x = jnp.asarray(rng.standard_normal((2, 32, 64, 2)).astype(np.float32))
+    ref = None
+    for mode in ("off", "on", "full", True, False):
+        m = ResNetBackbone(block="BasicBlock", block_layers=(1, 1, 1, 1),
+                           s2d_stem=mode)
+        v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        outs = [np.asarray(o) for o in m.apply(v, x, train=False)]
+        if ref is None:
+            ref = outs
+        else:
+            for a, b in zip(ref, outs):
+                np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5,
+                                           err_msg=f"mode={mode}")
+
+
 def test_resize_w_matches_torch_bilinear(rng):
     x = rng.standard_normal((2, 3, 10, 4)).astype(np.float32)  # NHWC
     tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
