@@ -95,6 +95,7 @@ def make_inference_fn(
     mesh=None,
     data_axis: str = "data",
     packed: bool = False,
+    int8_input: bool = False,
 ) -> Callable[[jax.Array], Dict[str, jax.Array]]:
     """Build the jitted waveform -> detections function.
 
@@ -107,10 +108,20 @@ def make_inference_fn(
     axis (replicated weights): inference scales across chips with zero model
     changes — each device runs independent clips, no collectives on the hot
     path (SURVEY.md §2.3 item 3).
+
+    ``int8_input=True``: the returned fn takes ``(q, scale)`` — an int8 clip
+    batch (B, 1, S) plus its per-clip f32 dequant multipliers (B,) from
+    :func:`audioyolo_tpu.infer.streaming.quantize_clips_int8` — and
+    dequantizes in-graph before the frontend. Transfer-bound streaming ships
+    half the bytes of the int16 path (docs/PERFORMANCE.md: the host->device
+    pipe, not compute, caps long-form streaming on tunnelled deployments).
     """
     duration = float(model.cfg.sample_duration)
 
     def infer_impl(audio: jax.Array):
+        if int8_input:
+            q, scale = audio
+            audio = q.astype(jnp.float32) * scale[:, None, None]
         preds = model.apply(variables, audio, train=False, combine_scales=True)
         dets = detection_postprocess_graph(
             preds, iou_threshold, conf_threshold, duration, keep_k

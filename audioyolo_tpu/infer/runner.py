@@ -63,6 +63,7 @@ def evaluate_dir(
                 idx2class_map=kwargs["idx2class_map"],
                 frame_fn=kwargs.get("frame_fn"),
                 verbose=verbose,
+                transfer=kwargs.get("transfer", "int16"),
             )
             batched = set(native_rate)
             paths = [p for p in paths if p not in batched]

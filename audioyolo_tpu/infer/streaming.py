@@ -29,6 +29,33 @@ from ..ops.resample import Resampler
 from .decode import postprocess_detections
 
 
+def quantize_clips_int8(clips: np.ndarray):
+    """Per-clip symmetric int8 quantization of a clip batch for minimum-byte
+    host->device transfer: ``(B, 1, S)`` int16 or float32 ->
+    ``(q int8, scale f32 (B,))`` with ``q * scale`` reproducing the float
+    waveform the int16/float path would feed the model (int16 sources keep
+    the readers' ``/32768`` normalization folded into ``scale``).
+
+    Streaming is transfer-bound on tunnelled deployments (docs/PERFORMANCE.md
+    "transfer cliff"); int8 halves the int16 floor's bytes. Lossy (~48 dB
+    SNR at per-clip absmax scaling) — detection-equivalence on the demo model
+    is measured in docs/PERFORMANCE.md; lossless deployments keep int16.
+    """
+    if clips.dtype == np.int16:
+        # abs() overflows on int16's -32768 — widen first
+        a = np.abs(clips.astype(np.int32)).max(axis=(1, 2)).astype(np.float32)
+        s = np.maximum(a, 1.0) / 127.0
+        scale = s / np.float32(32768.0)
+    else:
+        a = np.abs(clips).max(axis=(1, 2)).astype(np.float32)
+        s = np.maximum(a, np.float32(1e-12)) / 127.0
+        scale = s
+    q = np.clip(
+        np.round(clips.astype(np.float32) / s[:, None, None]), -127, 127
+    ).astype(np.int8)
+    return q, scale.astype(np.float32)
+
+
 def rle_merge(rows: List[dict]) -> List[dict]:
     """Merge consecutive same-class events (reference ``inference.py:186-195``:
     the merge is purely class-adjacency based — time gaps do not split)."""
@@ -53,6 +80,7 @@ def evaluate_audio(
     frame_fn: Optional[Callable] = None,
     _resampler_cache: Optional[dict] = None,
     chunk_range: Optional[tuple] = None,
+    transfer: str = "int16",
 ) -> Optional[List[dict]]:
     """Stream one file through the detector; writes ``<name>_results.csv``.
 
@@ -72,7 +100,15 @@ def evaluate_audio(
     into exactly the single-process row list (infer/pool.py shards long files
     this way: the host->device pipe's ~45 MB/s throughput cap is
     per-process, so K workers ingest at ~K x 45 MB/s — docs/PERFORMANCE.md).
+
+    ``transfer``: "int16" (default — exact for PCM16 sources) or "int8"
+    (half the bytes again; per-clip absmax scales via
+    :func:`quantize_clips_int8`, dequantized in-graph — ``infer_fn`` must be
+    built with ``make_inference_fn(int8_input=True)``). int8 requires the
+    native-rate waveform path (no ``frame_fn``, no on-device resampling).
     """
+    if transfer not in ("int16", "int8"):
+        raise ValueError(f"transfer must be 'int16' or 'int8', got {transfer!r}")
     og_rate, total_frames, _ = read_wav_info(audio_filepath)
     sample_size = int(sample_duration * og_rate)
     model_sample_size = int(sample_duration * input_sample_rate)
@@ -90,6 +126,12 @@ def evaluate_audio(
         if key not in cache:
             cache[key] = Resampler(og_rate, input_sample_rate)
         resampler = cache[key]
+    if transfer == "int8" and (resampler is not None or frame_fn is not None):
+        raise ValueError(
+            "transfer='int8' supports only the native-rate waveform path "
+            f"(file rate {og_rate} vs model rate {input_sample_rate}, "
+            f"frame_fn={'set' if frame_fn is not None else 'None'})"
+        )
 
     import jax
 
@@ -124,6 +166,11 @@ def evaluate_audio(
                     [clips, np.zeros((batch_size - nclips, 1, sample_size), dtype)],
                     axis=0,
                 )
+            if transfer == "int8":
+                q, scale = quantize_clips_int8(clips)
+                yield nclips, (jax.device_put(q), jax.device_put(scale))
+                start_frame += chunk_frames
+                continue
             if frame_fn is not None and resampler is None:
                 yield nclips, jax.device_put(frame_fn(clips[:, 0, :]))
                 start_frame += chunk_frames
@@ -221,6 +268,7 @@ def evaluate_files_batched(
     idx2class_map: Dict[int, str],
     frame_fn: Optional[Callable] = None,
     verbose: bool = False,
+    transfer: str = "int16",
 ) -> int:
     """Cross-file window scheduler: fills every device batch with windows from
     as many files as needed, so directories of short files run at full-batch
@@ -231,9 +279,14 @@ def evaluate_files_batched(
     All ``paths`` must already be at ``input_sample_rate`` (the runner routes
     other-rate files to the per-file path, which resamples on device).
     Per-file row assembly, sorting, RLE merge, and CSV naming are identical to
-    :func:`evaluate_audio`.
+    :func:`evaluate_audio`. ``transfer``: see :func:`evaluate_audio`.
     """
     import jax
+
+    if transfer not in ("int16", "int8"):
+        raise ValueError(f"transfer must be 'int16' or 'int8', got {transfer!r}")
+    if transfer == "int8" and frame_fn is not None:
+        raise ValueError("transfer='int8' requires the waveform path (no frame_fn)")
 
     sample_size = int(sample_duration * input_sample_rate)
     infos = [read_wav_info(p) for p in paths]
@@ -273,6 +326,9 @@ def evaluate_files_batched(
             arr = np.concatenate(
                 [arr, np.zeros((batch_size - n,) + arr.shape[1:], arr.dtype)], axis=0
             )
+        if transfer == "int8":
+            q, scale = quantize_clips_int8(arr[:, None, :])
+            return (jax.device_put(q), jax.device_put(scale))
         x = frame_fn(arr) if frame_fn is not None else arr[:, None, :]
         return jax.device_put(x)
 

@@ -65,7 +65,7 @@ def load_model_variables(model: AudioDetectionModel, model_path: str):
 
 def build_inference(cfg, num_classes, model_path, iou_threshold, conf_threshold,
                     fold: bool = True, dtype=None, ref_exact: bool = False,
-                    int8_calib=None):
+                    int8_calib=None, int8_input: bool = False):
     """``ref_exact=True`` runs imported reference checkpoints in the exact
     form they were trained/evaluated in: per-branch RepVGG LeakyReLU and no
     fold (the reference CLI never folds — SURVEY.md §3.3; and folding is not
@@ -74,7 +74,11 @@ def build_inference(cfg, num_classes, model_path, iou_threshold, conf_threshold,
     ``int8_calib``: an optional model-input batch (waveform or framed); when
     given, the detector body runs int8 on the MXU with scales calibrated on
     it (models/quant.py — stem and prediction heads stay float; demo-model
-    event mAP is unchanged, docs/PERFORMANCE.md)."""
+    event mAP is unchanged, docs/PERFORMANCE.md).
+
+    ``int8_input``: compile the (q, scale) int8-waveform entry
+    (``--transfer int8`` — half the int16 path's host->device bytes;
+    infer/streaming.py::quantize_clips_int8)."""
     if ref_exact:
         fold = False
     train_model = AudioDetectionModel.from_config(
@@ -100,7 +104,8 @@ def build_inference(cfg, num_classes, model_path, iou_threshold, conf_threshold,
     keep_k = int(cfg.raw.get("tpu_config", {}).get("nms_keep", 128))
     # packed output: one device->host buffer per chunk (see infer/decode.py)
     return make_inference_fn(
-        model, variables, iou_threshold, conf_threshold, keep_k, packed=True
+        model, variables, iou_threshold, conf_threshold, keep_k, packed=True,
+        int8_input=int8_input,
     )
 
 
@@ -161,7 +166,7 @@ def build_frame_fn(cfg):
 
 def build_worker(config, model_path, class_map_path, iou_threshold,
                  conf_threshold, fold=True, bf16=False, ref_exact=False,
-                 framed_input=False, int8_calib_path=None):
+                 framed_input=False, int8_calib_path=None, transfer="int16"):
     """Worker-side factory for the streaming pool (``infer/pool.py``):
     rebuilds the model from its checkpoint inside the worker process and
     returns ``(infer_fn, frame_fn)``."""
@@ -175,7 +180,7 @@ def build_worker(config, model_path, class_map_path, iou_threshold,
     infer_fn = build_inference(
         cfg, len(idx2class), model_path, iou_threshold, conf_threshold,
         fold=fold, dtype=jnp.bfloat16 if bf16 else None, ref_exact=ref_exact,
-        int8_calib=calib,
+        int8_calib=calib, int8_input=(transfer == "int8"),
     )
     return infer_fn, frame_fn
 
@@ -217,7 +222,18 @@ def main():
                         help="host-frame clips for the fused frontend (more "
                              "transfer bytes, less device work — only wins on "
                              "fast host->device links)")
+    parser.add_argument("--transfer", type=str, default="int16",
+                        choices=("int16", "int8"),
+                        help="host->device waveform transfer format: int16 "
+                             "(exact for PCM16 sources) or int8 (half the "
+                             "bytes; per-clip scales, dequantized in-graph — "
+                             "for transfer-bound streaming; detection-"
+                             "equivalent on the demo model, "
+                             "docs/PERFORMANCE.md). Requires native-rate "
+                             "files and no --framed_input")
     args = parser.parse_args()
+    if args.transfer == "int8" and args.framed_input:
+        parser.error("--transfer int8 requires the waveform path (drop --framed_input)")
 
     cfg = load_config(args.config)
     tc = cfg.raw["train_config"]
@@ -250,12 +266,14 @@ def main():
             bf16=args.bf16, ref_exact=args.ref_exact,
             framed_input=args.framed_input,
             int8_calib_path=_first_input_path() if args.int8 else None,
+            transfer=args.transfer,
         )
         eval_kwargs = dict(
             input_sample_rate=cfg.sample_rate,
             sample_duration=cfg.sample_duration,
             batch_size=batch_size,
             idx2class_map=idx2class,
+            transfer=args.transfer,
         )
         with StreamWorkerPool("inference:build_worker", factory_kwargs,
                               args.workers, eval_kwargs) as pool:
@@ -284,6 +302,7 @@ def main():
             load_calib_batch([_first_input_path()], cfg, frame_fn=frame_fn)
             if args.int8 else None
         ),
+        int8_input=(args.transfer == "int8"),
     )
     kwargs = dict(
         input_sample_rate=cfg.sample_rate,
@@ -291,6 +310,7 @@ def main():
         batch_size=batch_size,
         idx2class_map=idx2class,
         frame_fn=frame_fn,
+        transfer=args.transfer,
     )
     if args.audio_filepath:
         if not os.path.isfile(args.audio_filepath):

@@ -125,6 +125,96 @@ def test_streaming_long_file(trained, tmp_path):
         assert all(a != b for a, b in zip(cls, cls[1:]))
 
 
+def test_int8_input_fn_matches_prequantized_float(trained):
+    """make_inference_fn(int8_input=True) takes (q, scale) and must equal the
+    float fn fed the host-dequantized waveform — the in-graph dequant is the
+    same f32 multiply (infer/decode.py)."""
+    from audioyolo_tpu.infer import quantize_clips_int8
+
+    cfg, model, variables, class2idx = trained
+    folded = fold_repvgg(variables)
+    deploy = AudioDetectionModel.from_config(cfg, num_classes=len(class2idx), deploy=True)
+    f_float = make_inference_fn(deploy, folded, 0.1, 0.05, keep_k=16, packed=True)
+    f_int8 = make_inference_fn(deploy, folded, 0.1, 0.05, keep_k=16, packed=True,
+                               int8_input=True)
+
+    clips = np.stack([
+        synth_clip(8000, 4.0, [(0.5 + 0.4 * j, 1.8 + 0.4 * j, "tone")], seed=j)
+        for j in range(3)
+    ])[:, None, :]
+    x16 = np.clip(np.round(clips * 32768.0), -32768, 32767).astype(np.int16)
+    q, scale = quantize_clips_int8(x16)
+    dequant = q.astype(np.float32) * scale[:, None, None]
+    np.testing.assert_allclose(
+        np.asarray(f_int8((jnp.asarray(q), jnp.asarray(scale)))),
+        np.asarray(f_float(jnp.asarray(dequant))),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_quantize_clips_int8_roundtrip():
+    from audioyolo_tpu.infer import quantize_clips_int8
+
+    rng = np.random.default_rng(0)
+    x16 = (rng.standard_normal((4, 1, 4000)) * 9000).astype(np.int16)
+    x16[0, 0, 7] = -32768  # int16 abs-overflow corner
+    x16[2] = 0  # silent (zero-padded) clip must not divide by zero
+    q, scale = quantize_clips_int8(x16)
+    assert q.dtype == np.int8 and scale.dtype == np.float32
+    # round-trip error bounded by half a quantization step, in int16 units
+    step = scale * 32768.0
+    err = np.abs(q.astype(np.float32) * step[:, None, None] - x16.astype(np.float32))
+    assert (err <= step[:, None, None] / 2 + 1e-3).all()
+    # float input: scale maps q straight back to the float waveform
+    xf = (rng.standard_normal((2, 1, 1000)) * 0.2).astype(np.float32)
+    qf, sf = quantize_clips_int8(xf)
+    errf = np.abs(qf.astype(np.float32) * sf[:, None, None] - xf)
+    assert (errf <= sf[:, None, None] / 2 + 1e-7).all()
+
+
+def test_streaming_int8_transfer_exact_on_8bit_content(trained, tmp_path):
+    """evaluate_audio(transfer='int8') plumbing (chunking, quantization,
+    offsets, padding) must be EXACT when the content is exactly int8+scale
+    representable: samples are multiples of 258 = 32766/127 with a full-scale
+    sample in every 4 s clip, so per-clip scale is 258 (binary-exact f32) and
+    q * scale reproduces the int16 path's floats bit-for-bit -> identical
+    detection rows. (Real-content detection equivalence at ~48 dB SNR is
+    measured on the trained demo model — docs/PERFORMANCE.md.)"""
+    cfg, model, variables, class2idx = trained
+    idx2class = {v: k for k, v in class2idx.items()}
+    rng = np.random.default_rng(11)
+    sr, dur = 8000, 12.0  # 3 exact clips, no partial tail
+    x16 = 258 * rng.integers(-127, 128, int(sr * dur)).astype(np.int32)
+    for k in range(3):  # force full-scale absmax in every clip
+        x16[k * 4 * sr] = 32766
+    path = str(tmp_path / "long8.wav")
+    write_wav(path, x16.astype(np.float32) / 32768.0, sr)
+
+    folded = fold_repvgg(variables)
+    deploy = AudioDetectionModel.from_config(cfg, num_classes=len(class2idx), deploy=True)
+    kwargs = dict(input_sample_rate=sr, sample_duration=4.0, batch_size=2,
+                  idx2class_map=idx2class, return_rows=True)
+    f16 = make_inference_fn(deploy, folded, 0.1, 0.05, keep_k=32)
+    rows16 = evaluate_audio(f16, path, "", transfer="int16", **kwargs)
+    f8 = make_inference_fn(deploy, folded, 0.1, 0.05, keep_k=32, int8_input=True)
+    rows8 = evaluate_audio(f8, path, "", transfer="int8", **kwargs)
+
+    assert len(rows8) == len(rows16)
+    for a, b in zip(rows8, rows16):
+        assert a["class_idx"] == b["class_idx"]
+        np.testing.assert_allclose(
+            [a["start"], a["end"], a["confidence"], a["objectness"]],
+            [b["start"], b["end"], b["confidence"], b["objectness"]],
+            rtol=1e-5, atol=1e-6,
+        )
+
+    # unsupported combinations fail loudly, not silently wrong
+    with pytest.raises(ValueError):
+        evaluate_audio(f8, path, "", transfer="int8", frame_fn=lambda a: a, **kwargs)
+    with pytest.raises(ValueError):
+        evaluate_audio(f8, path, "", transfer="int4", **kwargs)
+
+
 def test_evaluate_dir_fanout(trained, tmp_path):
     cfg, model, variables, class2idx = trained
     idx2class = {v: k for k, v in class2idx.items()}
