@@ -84,6 +84,13 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_int32, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int32,
             ]
+        if hasattr(lib, "ayt_quant_i8"):
+            lib.ayt_quant_i8.restype = ctypes.c_int
+            lib.ayt_quant_i8.argtypes = [
+                ctypes.POINTER(ctypes.c_int16), ctypes.c_int32, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int32,
+            ]
         if hasattr(lib, "ayt_load_batch_framed_i16"):
             lib.ayt_load_batch_framed_i16.restype = ctypes.c_int
             lib.ayt_load_batch_framed_i16.argtypes = [
@@ -219,6 +226,33 @@ def frame_i16(clips: np.ndarray, framer, n_threads: int = 2) -> np.ndarray:
     if rc != 0:
         raise IOError(f"native framing failed (code {rc})")
     return out
+
+
+def quant_i8(clips: np.ndarray, n_threads: int = 2):
+    """Per-clip symmetric int8 quantization of an int16 batch ``(B, L)`` (any
+    trailing layout — flattened per clip): returns ``(q int8 same-shape,
+    step f32 (B,))`` with ``step`` in int16 units (``q * step`` reproduces
+    the int16 samples to half a step; numpy-round parity). The C loop is
+    ~8x the 1-core numpy version on 80 MB half-hours — the difference
+    between int8 transfer winning and losing on a fast pipe
+    (docs/PERFORMANCE.md)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "ayt_quant_i8"):
+        raise RuntimeError("native int8 quantization unavailable")
+    assert clips.dtype == np.int16
+    clips = np.ascontiguousarray(clips)
+    n = clips.shape[0]
+    clip_len = int(clips.size // max(n, 1))
+    q = np.empty(clips.shape, np.int8)
+    step = np.empty(n, np.float32)
+    rc = lib.ayt_quant_i8(
+        clips.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n, clip_len,
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        step.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_threads,
+    )
+    if rc != 0:
+        raise IOError(f"native int8 quantization failed (code {rc})")
+    return q, step
 
 
 def load_batch_framed_i16(

@@ -42,6 +42,13 @@ def quantize_clips_int8(clips: np.ndarray):
     is measured in docs/PERFORMANCE.md; lossless deployments keep int16.
     """
     if clips.dtype == np.int16:
+        from ..data import native
+
+        try:  # threaded C loop: ~8x the numpy path on the 1-core host
+            q, step = native.quant_i8(clips)
+            return q, (step / np.float32(32768.0)).astype(np.float32)
+        except RuntimeError:  # library unavailable: numpy fallback below
+            pass
         # abs() overflows on int16's -32768 — widen first
         a = np.abs(clips.astype(np.int32)).max(axis=(1, 2)).astype(np.float32)
         s = np.maximum(a, 1.0) / 127.0

@@ -278,6 +278,47 @@ int ayt_load_batch(const char** paths, int32_t n, const int64_t* frame_offsets,
   return 0;
 }
 
+// Per-clip symmetric int8 quantization of int16 clips for the minimum-byte
+// host->device transfer posture (infer/streaming.py::quantize_clips_int8):
+// step[i] = max(per-clip absmax, 1) / 127 in int16 units, q = x/step rounded
+// half-to-even (matches numpy.round), clipped to [-127, 127]. The numpy
+// version of this costs ~0.4 s per 80 MB half-hour on the 1-core host —
+// enough to cancel the transfer saving when the pipe is fast; here it is a
+// two-pass streaming loop (~50 ms).
+int ayt_quant_i8(const int16_t* clips, int32_t n, int64_t clip_len,
+                 int8_t* out, float* out_step, int32_t n_threads) {
+  if (n <= 0) return 0;
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n) n_threads = n;
+  std::vector<std::thread> workers;
+  for (int32_t t = 0; t < n_threads; ++t) {
+    workers.emplace_back([&, t]() {
+      for (int32_t i = t; i < n; i += n_threads) {
+        const int16_t* src = clips + static_cast<int64_t>(i) * clip_len;
+        int32_t amax = 0;
+        for (int64_t j = 0; j < clip_len; ++j) {
+          int32_t a = src[j];
+          a = a < 0 ? -a : a;  // int32: |-32768| is representable
+          if (a > amax) amax = a;
+        }
+        const float step = (amax < 1 ? 1 : amax) / 127.0f;
+        const float inv = 1.0f / step;
+        int8_t* dst = out + static_cast<int64_t>(i) * clip_len;
+        for (int64_t j = 0; j < clip_len; ++j) {
+          // lrintf under FE_TONEAREST = round half to even = numpy.round
+          long q = lrintf(src[j] * inv);
+          if (q > 127) q = 127;
+          if (q < -127) q = -127;
+          dst[j] = static_cast<int8_t>(q);
+        }
+        out_step[i] = step;
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+  return 0;
+}
+
 // In-memory variant: phase-group a batch of already-decoded int16 clips
 // (B, clip_len) into (B, n_ph, n_groups, frame_len) — the streaming
 // evaluator's framing step, as a pure memcpy loop instead of numpy

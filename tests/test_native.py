@@ -160,3 +160,24 @@ class TestFramedDecode:
             assert nb["audio"].dtype == np.int16 and nb["audio"].ndim == 4
             for key in pb:
                 np.testing.assert_array_equal(nb[key], pb[key], err_msg=key)
+
+
+def test_native_quant_i8_matches_numpy(rng):
+    """ayt_quant_i8 (the streaming int8-transfer quantizer) must agree with
+    the numpy definition in quantize_clips_int8: identical steps, codes within
+    1 lsb (reciprocal-multiply vs divide rounding), round-trip error bounded
+    by half a step."""
+    if not native.native_available():
+        pytest.skip("native library unavailable")
+    x16 = (rng.standard_normal((3, 1, 5000)) * 9000).astype(np.int16)
+    x16[0, 0, 7] = -32768  # abs-overflow corner
+    x16[2] = 0  # silent clip
+    q, step = native.quant_i8(x16)
+    assert q.shape == x16.shape and q.dtype == np.int8
+    a = np.abs(x16.astype(np.int32)).max(axis=(1, 2)).astype(np.float32)
+    s = np.maximum(a, 1.0) / 127.0
+    np.testing.assert_allclose(step, s, rtol=1e-6)
+    qn = np.clip(np.round(x16.astype(np.float32) / s[:, None, None]), -127, 127)
+    assert np.abs(q.astype(np.int32) - qn.astype(np.int32)).max() <= 1
+    err = np.abs(q.astype(np.float32) * step[:, None, None] - x16.astype(np.float32))
+    assert (err <= step[:, None, None] / 2 + 0.1).all()
