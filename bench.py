@@ -50,7 +50,7 @@ def _emit(metric, value, unit, vs=None):
 
 
 def _build_infer(cfg, block=None, layers=None, keep_k=128, packed=False, n_dispatch=1,
-                 int8=False):
+                 int8=False, int8_input=False):
     from audioyolo_tpu.infer import make_inference_fn
     from audioyolo_tpu.infer.decode import make_multi_inference_fn
     from audioyolo_tpu.models import AudioDetectionModel, fold_repvgg
@@ -103,7 +103,8 @@ def _build_infer(cfg, block=None, layers=None, keep_k=128, packed=False, n_dispa
             deploy, variables, n_dispatch, 0.1, 0.2, keep_k, packed=packed
         )
     else:
-        infer_fn = make_inference_fn(deploy, variables, 0.1, 0.2, keep_k, packed=packed)
+        infer_fn = make_inference_fn(deploy, variables, 0.1, 0.2, keep_k, packed=packed,
+                                     int8_input=int8_input)
     return infer_fn, frame_fn, raw
 
 
@@ -146,7 +147,8 @@ def bench_single_clip(cfg, infer_fn_b1, frame_fn):
     return dt * 1000.0  # ms per clip
 
 
-def bench_streaming(cfg, infer_fn, frame_fn, tmpdir="/tmp/bench_stream"):
+def bench_streaming(cfg, infer_fn, frame_fn, tmpdir="/tmp/bench_stream",
+                    transfer="int16"):
     from audioyolo_tpu.data.wavio import write_wav
     from audioyolo_tpu.infer import evaluate_audio
 
@@ -161,7 +163,7 @@ def bench_streaming(cfg, infer_fn, frame_fn, tmpdir="/tmp/bench_stream"):
     kwargs = dict(
         input_sample_rate=sr, sample_duration=float(cfg.sample_duration),
         batch_size=BATCH, idx2class_map={i: f"c{i}" for i in range(NUM_CLASSES)},
-        frame_fn=frame_fn,
+        frame_fn=frame_fn, transfer=transfer,
     )
     evaluate_audio(infer_fn, path, tmpdir, **kwargs)  # warm compile + page cache
     # median-of-3: the tunnelled host->device pipe has 2-3x weather-dependent
@@ -175,18 +177,21 @@ def bench_streaming(cfg, infer_fn, frame_fn, tmpdir="/tmp/bench_stream"):
     return minutes * 60 / float(np.median(dts))
 
 
-def _stream_factory(config="config/config.yaml"):
+def _stream_factory(config="config/config.yaml", int8_input=False):
     """Worker-side factory for the pooled streaming bench: rebuilds the
     PRNGKey(0)-deterministic bench model (identical across workers) and
     returns ``(infer_fn, frame_fn=None)`` — streaming ships minimum-byte
-    int16 waveforms, not host frames."""
+    waveforms (int16, or int8 ``(q, scale)`` when ``int8_input``), not
+    host frames."""
     from audioyolo_tpu.config import load_config
 
-    infer_fn, _, _ = _build_infer(load_config(config), packed=True)
+    infer_fn, _, _ = _build_infer(load_config(config), packed=True,
+                                  int8_input=int8_input)
     return infer_fn, None
 
 
-def bench_streaming_pool(cfg, workers=4, tmpdir="/tmp/bench_stream"):
+def bench_streaming_pool(cfg, workers=4, tmpdir="/tmp/bench_stream",
+                         transfer="int16"):
     """Production streaming posture: a StreamWorkerPool shards a long file
     by chunk ranges across ``workers`` processes. The host->device transfer
     cap (~45 MB/s) that bounds single-process streaming is per-process
@@ -212,8 +217,11 @@ def bench_streaming_pool(cfg, workers=4, tmpdir="/tmp/bench_stream"):
     eval_kwargs = dict(
         input_sample_rate=sr, sample_duration=float(cfg.sample_duration),
         batch_size=8, idx2class_map={i: f"c{i}" for i in range(NUM_CLASSES)},
+        transfer=transfer,
     )
-    with StreamWorkerPool("bench:_stream_factory", {}, workers, eval_kwargs) as pool:
+    with StreamWorkerPool("bench:_stream_factory",
+                          {"int8_input": transfer == "int8"},
+                          workers, eval_kwargs) as pool:
         pool.warmup()
         pool.evaluate_file(path, tmpdir)  # warm compile + page cache
         dts = []
@@ -317,12 +325,18 @@ def main():
     # waveforms rather than host-framed input (3.5x faster here).
     # Production posture: persistent worker pool, 4 processes — the transfer
     # cap is per-process so the pool multiplies ingest (infer/pool.py).
+    # transfer encoding: int8 halves the int16 floor's bytes (2.1x measured
+    # in the capped regime, docs/PERFORMANCE.md); adoption as the default
+    # posture is gated on trained-demo-model detection equivalence
+    # (tools/gate_int8_transfer.py). BENCH_STREAM_TRANSFER overrides.
+    transfer = os.environ.get("BENCH_STREAM_TRANSFER", "int16")
     _emit("streaming_audio_seconds_per_sec",
-          bench_streaming_pool(cfg, workers=4), "audio-s/s")
+          bench_streaming_pool(cfg, workers=4, transfer=transfer), "audio-s/s")
     # single-process path kept for round-over-round continuity
-    infer_packed, _, _ = _build_infer(cfg, packed=True)
+    infer_packed, _, _ = _build_infer(cfg, packed=True,
+                                      int8_input=transfer == "int8")
     _emit("streaming_single_process_audio_seconds_per_sec",
-          bench_streaming(cfg, infer_packed, None), "audio-s/s")
+          bench_streaming(cfg, infer_packed, None, transfer=transfer), "audio-s/s")
     # #4 training step throughput
     _emit("train_audio_seconds_per_sec", bench_train_step(cfg), "audio-s/s")
     # #5 scaled backbone (Bottleneck [3,4,6,3])

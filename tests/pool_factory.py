@@ -9,7 +9,7 @@ compute identical detections.
 from __future__ import annotations
 
 
-def build(seed: int = 0):
+def build(seed: int = 0, int8_input: bool = False):
     import copy
 
     import jax
@@ -30,4 +30,5 @@ def build(seed: int = 0):
     )
     folded = fold_repvgg(jax.tree.map(np.asarray, variables))
     deploy = AudioDetectionModel.from_config(cfg, num_classes=2, deploy=True)
-    return make_inference_fn(deploy, folded, 0.1, 0.05, keep_k=32), None
+    return make_inference_fn(deploy, folded, 0.1, 0.05, keep_k=32,
+                             int8_input=int8_input), None

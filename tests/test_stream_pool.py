@@ -162,3 +162,41 @@ def test_pool_directory_corrupt_file_isolated(pool, tmp_path):
     # every readable file still produced its CSV before the raise
     for i in range(3):
         assert os.path.isfile(os.path.join(out, "mixed", f"g{i}_results.csv"))
+
+
+def test_pool_int8_transfer_matches_int16_on_8bit_content(tmp_path):
+    """Pooled streaming with ``transfer='int8'`` (the bench's production
+    posture for transfer-bound deployments) must reproduce the int16 path's
+    CSV exactly on exactly-int8-representable content: samples are multiples
+    of 258 = 32766/127 with a full-scale sample in every window, so the
+    per-clip scale is binary-exact and q * scale == the int16 floats
+    (mirrors test_inference_e2e.py's single-process equality; here the
+    factory kwarg + eval_kwargs plumbing through the worker is what's under
+    test)."""
+    sr = EVAL_KWARGS["input_sample_rate"]
+    dur = 16.0  # 4 windows of 4 s -> 2 chunks of 2
+    rng = np.random.default_rng(13)
+    x16 = 258 * rng.integers(-127, 128, int(sr * dur)).astype(np.int32)
+    for k in range(4):
+        x16[k * 4 * sr] = 32766
+    wav = str(tmp_path / "exact8.wav")
+    write_wav(wav, x16.astype(np.float32) / 32768.0, sr)
+
+    infer_fn, _ = pool_factory.build(seed=0)
+    out_single = str(tmp_path / "single")
+    os.makedirs(out_single)
+    evaluate_audio(infer_fn, wav, out_single, transfer="int16", **EVAL_KWARGS)
+
+    with StreamWorkerPool(
+        "pool_factory:build", {"seed": 0, "int8_input": True}, workers=2,
+        eval_kwargs={**EVAL_KWARGS, "transfer": "int8"}, env=WORKER_ENV,
+    ) as p8:
+        out_pool = str(tmp_path / "pooled")
+        csv_path = p8.evaluate_file(wav, out_pool)
+
+    single_csv = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(out_single) for f in fs if f.endswith(".csv")
+    ][0]
+    with open(single_csv) as a, open(csv_path) as b:
+        assert a.read() == b.read()
