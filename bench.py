@@ -326,10 +326,12 @@ def main():
     # Production posture: persistent worker pool, 4 processes — the transfer
     # cap is per-process so the pool multiplies ingest (infer/pool.py).
     # transfer encoding: int8 halves the int16 floor's bytes (2.1x measured
-    # in the capped regime, docs/PERFORMANCE.md); adoption as the default
-    # posture is gated on trained-demo-model detection equivalence
-    # (tools/gate_int8_transfer.py). BENCH_STREAM_TRANSFER overrides.
-    transfer = os.environ.get("BENCH_STREAM_TRANSFER", "int16")
+    # in the capped regime) and passed the trained-demo-model detection gate
+    # (tools/gate_int8_transfer.py: mAP@0.5 0.7115 int8 vs 0.7097 int16,
+    # same 97 events — docs/PERFORMANCE.md) — production posture for
+    # transfer-bound deployments; BENCH_STREAM_TRANSFER=int16 reproduces
+    # the exact-transfer numbers.
+    transfer = os.environ.get("BENCH_STREAM_TRANSFER", "int8")
     _emit("streaming_audio_seconds_per_sec",
           bench_streaming_pool(cfg, workers=4, transfer=transfer), "audio-s/s")
     # single-process path kept for round-over-round continuity

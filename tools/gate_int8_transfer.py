@@ -25,7 +25,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from audioyolo_tpu.config import load_config  # noqa: E402
-from audioyolo_tpu.data import AudioDataset, BatchLoader, load_annotations  # noqa: E402
+from audioyolo_tpu.data import AudioDataset, BatchLoader  # noqa: E402
+from train import load_annotations  # noqa: E402
 from audioyolo_tpu.infer.decode import unpack_detections  # noqa: E402
 from audioyolo_tpu.infer import postprocess_detections  # noqa: E402
 from audioyolo_tpu.infer.eval_map import event_map, event_average_precision  # noqa: E402
