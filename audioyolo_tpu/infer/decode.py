@@ -118,26 +118,41 @@ def make_inference_fn(
     """
     duration = float(model.cfg.sample_duration)
 
-    def infer_impl(audio: jax.Array):
+    def infer_impl(v, audio: jax.Array):
         if int8_input:
             q, scale = audio
             audio = q.astype(jnp.float32) * scale[:, None, None]
-        preds = model.apply(variables, audio, train=False, combine_scales=True)
+        preds = model.apply(v, audio, train=False, combine_scales=True)
         dets = detection_postprocess_graph(
             preds, iou_threshold, conf_threshold, duration, keep_k
         )
         return pack_detections(dets) if packed else dets
 
+    # Weights ride as jit ARGUMENTS (device-resident once, at build time),
+    # not closed-over constants: embedding ~50 MB of params into every
+    # compiled program made each executable ~100 MB — slow to compile, slow
+    # to load from the persistent compile cache, and re-shipped per program
+    # (single-dispatch, multi-dispatch and scaled postures each re-embed the
+    # same weights). As arguments the programs stay small and the weight
+    # upload happens exactly once.
     if mesh is None:
-        return jax.jit(infer_impl)
+        dev_vars = jax.device_put(variables)
+        jitted = jax.jit(infer_impl)
+
+        def infer(audio):
+            return jitted(dev_vars, audio)
+
+        return infer
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     data = NamedSharding(mesh, P(data_axis))
-    jitted = jax.jit(infer_impl, in_shardings=data, out_shardings=data)
+    repl = NamedSharding(mesh, P())
+    dev_vars = jax.device_put(variables, repl)
+    jitted = jax.jit(infer_impl, in_shardings=(repl, data), out_shardings=data)
 
     def infer(audio: jax.Array) -> Dict[str, jax.Array]:
-        return jitted(jax.device_put(audio, data))
+        return jitted(dev_vars, jax.device_put(audio, data))
 
     return infer
 
@@ -164,16 +179,18 @@ def make_multi_inference_fn(
     """
     duration = float(model.cfg.sample_duration)
 
-    def infer_impl(*audios):
+    def infer_impl(v, *audios):
         outs = []
         for a in audios:
-            preds = model.apply(variables, a, train=False, combine_scales=True)
+            preds = model.apply(v, a, train=False, combine_scales=True)
             dets = detection_postprocess_graph(
                 preds, iou_threshold, conf_threshold, duration, keep_k
             )
             outs.append(pack_detections(dets) if packed else dets)
         return tuple(outs)
 
+    # weights as runtime arguments, same rationale as make_inference_fn
+    dev_vars = jax.device_put(variables)
     jitted = jax.jit(infer_impl)
 
     def infer(audios):
@@ -184,7 +201,7 @@ def make_multi_inference_fn(
                 f"make_multi_inference_fn built for {n_batches} batches per "
                 f"dispatch, got {len(audios)}"
             )
-        return jitted(*audios)
+        return jitted(dev_vars, *audios)
 
     return infer
 

@@ -27,6 +27,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent XLA compile cache: remote (axon) compiles cost 20-180 s per
+# program; the cache turns repeat runs into sub-second executable loads
+# (measured 11.9 s -> 0.3 s for a probe program across processes). This is
+# what keeps the default bench inside a driver's timeout budget once primed.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/audioyolo_jax_bench_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if os.environ.get("JAX_PLATFORMS", "") == "axon":
+    # also expose the local CPU backend: model init runs there (jit-init on
+    # the tunnelled TPU cost ~19 s compile + a ~335 s packed fetch of the
+    # fresh params through the journaled device->host pipe; CPU init + a
+    # single host->device weight upload replaces both)
+    jax.config.update("jax_platforms", "axon,cpu")
+
 BASELINE_AUDIO_SECONDS_PER_SEC = 50.0  # 50x realtime target per chip
 NUM_CLASSES = 2
 # Offline-batch serving batch size for the throughput headline. The jitted
@@ -69,13 +83,24 @@ def _build_infer(cfg, block=None, layers=None, keep_k=128, packed=False, n_dispa
     train_model = AudioDetectionModel.from_config(raw, num_classes=NUM_CLASSES)
     sample = jnp.zeros((1, 1, cfg.clip_samples), jnp.float32)
     init_fn = jax.jit(lambda r, x: train_model.init(r, x, train=False))
-    variables = init_fn({"params": rng, "dropout": rng}, sample)
-    # packed single-buffer fetch: per-leaf np.asarray costs a tunnel round
-    # trip per tensor (~0.25 s x 294 leaves) — it made every streaming pool
-    # worker pay ~4 min of startup
-    from audioyolo_tpu.train.trainer import TrainerPipeline
+    # init on the LOCAL CPU backend when available: params never need to
+    # round-trip the tunnel (jit-init on-device cost ~19 s + a ~335 s packed
+    # fetch of 48 MB fresh params through the journaled d2h pipe); the folded
+    # weights ship host->device exactly once, inside make_inference_fn.
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            variables = init_fn({"params": rng, "dropout": rng}, sample)
+        variables = jax.tree.map(np.asarray, variables)
+    else:
+        from audioyolo_tpu.train.trainer import TrainerPipeline
 
-    variables = fold_repvgg(TrainerPipeline.fetch_tree(variables))
+        variables = init_fn({"params": rng, "dropout": rng}, sample)
+        variables = TrainerPipeline.fetch_tree(variables)
+    variables = fold_repvgg(variables)
     deploy = AudioDetectionModel.from_config(
         raw, num_classes=NUM_CLASSES, deploy=True, dtype=jnp.bfloat16
     )
@@ -120,15 +145,32 @@ def _steady_state(fn, arg, iters=ITERS, warmup=WARMUP):
     return (time.perf_counter() - t0) / iters
 
 
+_gen_cache = {}
+
+
 def _bench_input(cfg, frame_fn, batch, seed):
     """Device-resident inference input in the serving layout: phase-grouped
     frames when the fused frontend is available (the loader/streaming path
-    frames on host — ops/fused_frontend.py), waveform otherwise."""
-    audio = (np.random.default_rng(seed)
-             .standard_normal((batch, 1, cfg.clip_samples)).astype(np.float32) * 0.1)
+    frames on host — ops/fused_frontend.py), waveform otherwise.
+
+    The noise is GENERATED ON DEVICE in the framed shape: the bench measures
+    steady-state device throughput with resident batches, so host framing +
+    device_put of the input adds nothing to the metric — but shipping
+    4x 1.35 GB fp32 batches through the journaled ~45 MB/s tunnel cost ~230 s
+    of setup per cold run. Per-frame iid noise is compute-identical to framed
+    noise (same shapes, same ops; detections are meaningless either way)."""
     if frame_fn is not None:
-        audio = frame_fn(audio[:, 0, :])
-    return jax.device_put(jnp.asarray(audio))
+        shape = (batch,) + frame_fn(
+            np.zeros((1, cfg.clip_samples), np.float32)).shape[1:]
+    else:
+        shape = (batch, 1, cfg.clip_samples)
+    gen = _gen_cache.get(shape)
+    if gen is None:
+        gen = _gen_cache[shape] = jax.jit(
+            lambda k: jax.random.normal(k, shape, jnp.float32) * 0.1)
+    out = gen(jax.random.PRNGKey(seed))
+    jax.block_until_ready(out)
+    return out
 
 
 def bench_batched(cfg, infer_fn, frame_fn, batch=BATCH_INFER, n_dispatch=1):
