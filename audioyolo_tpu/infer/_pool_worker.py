@@ -43,6 +43,23 @@ def _worker_main() -> int:
         try:
             if job["op"] == "ping":
                 out = {"ok": True}
+            elif job["op"] == "probe":
+                # time a host->device put of ``mb`` MB so the pool can detect
+                # whether the transfer cap is per-process or global that day
+                # (infer/pool.py::detect_regime). A tiny fetch first flips
+                # this process into the journaled-put regime streaming runs
+                # in; random bytes defeat any compression in the transport.
+                import time
+
+                import jax
+                import numpy as np
+
+                mb = float(job.get("mb", 32.0))
+                arr = np.frombuffer(os.urandom(int(mb * 1e6)), np.uint8)
+                np.asarray(jax.device_put(np.zeros((1,), np.float32)))
+                t0 = time.perf_counter()
+                jax.block_until_ready(jax.device_put(arr))
+                out = {"ok": True, "seconds": time.perf_counter() - t0, "mb": mb}
             elif job["op"] == "span":
                 rows = evaluate_audio(
                     infer_fn,

@@ -88,6 +88,7 @@ class StreamWorkerPool:
     ):
         self.workers = int(workers)
         self.eval_kwargs = dict(eval_kwargs)
+        self.regime = None  # set by detect_regime()
         spec = {
             "factory": factory,
             "factory_kwargs": factory_kwargs,
@@ -158,6 +159,48 @@ class StreamWorkerPool:
         for wi in range(self.workers):
             self._recv(wi)
 
+    def detect_regime(self, mb: float = 32.0) -> dict:
+        """Measure whether the host->device transfer cap is per-process or
+        global *right now*, and size the active worker set accordingly.
+
+        The ~45 MB/s journaled-put cap that bounds streaming is normally
+        per-process (K workers ingest ~K x 45 MB/s) but the tunnel sometimes
+        collapses to one global cap (docs/PERFORMANCE.md round-3 streaming),
+        where fanning a file out over N workers only adds 1-core host
+        contention. Probe: one worker puts ``mb`` MB solo, then all workers
+        put concurrently; the aggregate/solo ratio estimates how many workers
+        the pipe actually feeds. ``evaluate_file`` then shards over that many.
+
+        Returns (and stores on ``self.regime``) a dict with ``solo_mbps``,
+        ``aggregate_mbps``, ``active_workers`` and ``regime``
+        ("per-process" | "global" | "partial" | "single").
+        """
+        if self.workers == 1:
+            self.regime = {
+                "regime": "single", "active_workers": 1,
+                "solo_mbps": None, "aggregate_mbps": None,
+            }
+            return self.regime
+        self._submit(0, {"op": "probe", "mb": mb})
+        solo = mb / max(self._recv(0)["seconds"], 1e-9)
+        for wi in range(self.workers):
+            self._submit(wi, {"op": "probe", "mb": mb})
+        msgs = self._recv_all(range(self.workers))
+        # aggregate sustained rate = total bytes / slowest worker's wall
+        agg = self.workers * mb / max(max(m["seconds"] for m in msgs), 1e-9)
+        effective = max(1, min(self.workers, int(round(agg / max(solo, 1e-9)))))
+        regime = ("per-process" if effective >= self.workers
+                  else "global" if effective <= 1 else "partial")
+        # in the global regime keep 2 workers: decode/quantize host work
+        # still overlaps the single shared pipe
+        self.regime = {
+            "regime": regime,
+            "active_workers": effective if effective > 1 else min(2, self.workers),
+            "solo_mbps": round(solo, 1),
+            "aggregate_mbps": round(agg, 1),
+        }
+        return self.regime
+
     # -- high-level API -----------------------------------------------------
 
     def evaluate_file(self, audio_filepath: str, output_dir: str) -> str:
@@ -174,7 +217,8 @@ class StreamWorkerPool:
         og_rate, total_frames, _ = read_wav_info(audio_filepath)
         sample_size = int(ek["sample_duration"] * og_rate)
         n_chunks = max(1, -(-total_frames // (ek["batch_size"] * sample_size)))
-        n_w = min(self.workers, n_chunks)
+        n_active = self.regime["active_workers"] if self.regime else self.workers
+        n_w = min(n_active, n_chunks)
         # contiguous spans, remainder spread over the first workers
         base, extra = divmod(n_chunks, n_w)
         spans, c = [], 0

@@ -63,6 +63,41 @@ def quantize_clips_int8(clips: np.ndarray):
     return q, scale.astype(np.float32)
 
 
+def _prefetch_iter(gen, depth: int = 2):
+    """Run a generator on a background thread, ``depth`` items ahead.
+
+    The streaming hot path is transfer-bound (~45 MB/s journaled puts,
+    docs/PERFORMANCE.md): with a serial loop the pipe idles while the host
+    decodes + quantizes the next chunk. Producing chunks on a thread hides
+    that host work under the in-flight transfer (WAV decode and the native
+    int8 quantizer both release the GIL). ``device_put`` is thread-safe; the
+    arrays cross threads as ordinary objects."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    err: List[BaseException] = []
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+        except BaseException as e:  # surfaced on the consumer thread
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
 def rle_merge(rows: List[dict]) -> List[dict]:
     """Merge consecutive same-class events (reference ``inference.py:186-195``:
     the merge is purely class-adjacency based — time gaps do not split)."""
@@ -230,8 +265,10 @@ def evaluate_audio(
         clip_offset += nclips
 
     # two-deep pipeline: dispatch chunk N+1 before fetching chunk N so the
-    # device->host round trip overlaps the next chunk's decode + compute
-    for nclips, x in chunk_inputs():
+    # device->host round trip overlaps the next chunk's decode + compute;
+    # chunk production (decode + quantize + async put) additionally runs on
+    # a prefetch thread so host work hides under the in-flight transfer
+    for nclips, x in _prefetch_iter(chunk_inputs()):
         out = infer_fn(x)
         if pending is not None:
             drain(*pending)
@@ -360,19 +397,22 @@ def evaluate_files_batched(
             if remaining[fi] == 0:
                 finish_file(fi)
 
+    def batches():
+        metas, wins = [], []
+        for item in windows():
+            metas.append(item[:2])
+            wins.append(item[2])
+            if len(wins) == batch_size:
+                yield metas, to_device(metas, wins)
+                metas, wins = [], []
+        if wins:
+            yield metas, to_device(metas, wins)
+
+    # same two-deep pipeline + producer thread as evaluate_audio: window
+    # decode/stack/quantize runs ahead under the in-flight transfer
     pending = None
-    metas, wins = [], []
-    for item in windows():
-        metas.append(item[:2])
-        wins.append(item[2])
-        if len(wins) == batch_size:
-            out = infer_fn(to_device(metas, wins))
-            if pending is not None:
-                drain(*pending)
-            pending = (metas, out)
-            metas, wins = [], []
-    if wins:
-        out = infer_fn(to_device(metas, wins))
+    for metas, x in _prefetch_iter(batches()):
+        out = infer_fn(x)
         if pending is not None:
             drain(*pending)
         pending = (metas, out)

@@ -54,13 +54,76 @@ WARMUP = 3
 ITERS = 10
 
 
-def _emit(metric, value, unit, vs=None):
+def _emit(metric, value, unit, vs=None, **extra):
+    """One JSON line per metric; ``extra`` fields (e.g. the streaming
+    transfer encoding or the detected pool regime) make artifacts
+    machine-comparable across rounds."""
     print(json.dumps({
         "metric": metric,
         "value": round(float(value), 2),
         "unit": unit,
         "vs_baseline": round(float(vs if vs is not None else value / BASELINE_AUDIO_SECONDS_PER_SEC), 3),
+        **extra,
     }))
+
+
+def _bench_variables(cfg, raw, block=None, layers=None):
+    """PRNGKey(0)-deterministic folded bench weights, built once per posture
+    per machine and shared through a host-side msgpack file.
+
+    Init runs on the LOCAL CPU backend when available: params never need to
+    round-trip the tunnel (jit-init on-device cost ~19 s + a ~335 s packed
+    fetch of 48 MB fresh params through the journaled d2h pipe); the folded
+    weights ship host->device exactly once, inside make_inference_fn. The
+    file cache then spares every streaming-pool WORKER its own ~1-2 min
+    CPU re-init (4 workers serialized on the 1-core host dominated pool
+    startup; the CPU compile cache does not reliably load across processes —
+    its AOT executables are feature-gated to the compiling machine).
+    """
+    import hashlib
+
+    from flax import serialization
+
+    from audioyolo_tpu.models import AudioDetectionModel, fold_repvgg
+
+    key = hashlib.md5(
+        repr((sorted(raw.items(), key=str), block, layers, NUM_CLASSES)).encode()
+    ).hexdigest()[:16]
+    path = os.path.join("/tmp", f"ayt_bench_vars_{key}.msgpack")
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            return serialization.msgpack_restore(f.read())
+    train_model = AudioDetectionModel.from_config(raw, num_classes=NUM_CLASSES)
+    sample = np.zeros((1, 1, cfg.clip_samples), np.float32)
+    init_fn = jax.jit(lambda r, x: train_model.init(r, x, train=False))
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        # every array (incl. the PRNG key) must be created INSIDE the cpu
+        # default-device scope: an eagerly-created key lands on the default
+        # (tunnelled) device and init would then round-trip the tunnel —
+        # concurrent pool workers doing that got FAILED_PRECONDITION errors
+        with jax.default_device(cpu):
+            rng = jax.random.PRNGKey(0)
+            variables = init_fn({"params": rng, "dropout": rng}, sample)
+        variables = jax.tree.map(np.asarray, variables)
+    else:
+        from audioyolo_tpu.train.trainer import TrainerPipeline
+
+        rng = jax.random.PRNGKey(0)
+        variables = init_fn({"params": rng, "dropout": rng}, sample)
+        variables = TrainerPipeline.fetch_tree(variables)
+    variables = fold_repvgg(variables)
+    blob = serialization.msgpack_serialize(
+        jax.tree.map(np.asarray, variables)
+    )
+    tmp = f"{path}.{os.getpid()}.tmp"  # atomic vs concurrent workers
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+    return variables
 
 
 def _build_infer(cfg, block=None, layers=None, keep_k=128, packed=False, n_dispatch=1,
@@ -79,28 +142,7 @@ def _build_infer(cfg, block=None, layers=None, keep_k=128, packed=False, n_dispa
     # matches to 4 decimals on the trained demo model, docs/PERFORMANCE.md);
     # the shipped config default stays "highest" for checkpoint parity
     raw.setdefault("tpu_config", {})["frontend_precision"] = "default"
-    rng = jax.random.PRNGKey(0)
-    train_model = AudioDetectionModel.from_config(raw, num_classes=NUM_CLASSES)
-    sample = jnp.zeros((1, 1, cfg.clip_samples), jnp.float32)
-    init_fn = jax.jit(lambda r, x: train_model.init(r, x, train=False))
-    # init on the LOCAL CPU backend when available: params never need to
-    # round-trip the tunnel (jit-init on-device cost ~19 s + a ~335 s packed
-    # fetch of 48 MB fresh params through the journaled d2h pipe); the folded
-    # weights ship host->device exactly once, inside make_inference_fn.
-    try:
-        cpu = jax.devices("cpu")[0]
-    except RuntimeError:
-        cpu = None
-    if cpu is not None:
-        with jax.default_device(cpu):
-            variables = init_fn({"params": rng, "dropout": rng}, sample)
-        variables = jax.tree.map(np.asarray, variables)
-    else:
-        from audioyolo_tpu.train.trainer import TrainerPipeline
-
-        variables = init_fn({"params": rng, "dropout": rng}, sample)
-        variables = TrainerPipeline.fetch_tree(variables)
-    variables = fold_repvgg(variables)
+    variables = _bench_variables(cfg, raw, block, layers)
     deploy = AudioDetectionModel.from_config(
         raw, num_classes=NUM_CLASSES, deploy=True, dtype=jnp.bfloat16
     )
@@ -261,17 +303,26 @@ def bench_streaming_pool(cfg, workers=4, tmpdir="/tmp/bench_stream",
         batch_size=8, idx2class_map={i: f"c{i}" for i in range(NUM_CLASSES)},
         transfer=transfer,
     )
+    # pre-build the shared weights file so workers load it instead of each
+    # paying a ~1-2 min CPU init serialized on the 1-core host
+    raw = cfg.to_dict()
+    raw.setdefault("tpu_config", {})["frontend_precision"] = "default"
+    _bench_variables(cfg, raw)
     with StreamWorkerPool("bench:_stream_factory",
                           {"int8_input": transfer == "int8"},
                           workers, eval_kwargs) as pool:
         pool.warmup()
+        # size the active worker set to what the pipe can actually feed
+        # today (per-process vs globally-capped transfer regime), and
+        # record the detected regime in the artifact
+        regime = pool.detect_regime()
         pool.evaluate_file(path, tmpdir)  # warm compile + page cache
         dts = []
         for _ in range(3):
             t0 = time.perf_counter()
             pool.evaluate_file(path, tmpdir)
             dts.append(time.perf_counter() - t0)
-    return minutes * 60 / float(np.median(dts))
+    return minutes * 60 / float(np.median(dts)), regime
 
 
 def bench_train_step(cfg):
@@ -374,13 +425,16 @@ def main():
     # transfer-bound deployments; BENCH_STREAM_TRANSFER=int16 reproduces
     # the exact-transfer numbers.
     transfer = os.environ.get("BENCH_STREAM_TRANSFER", "int8")
-    _emit("streaming_audio_seconds_per_sec",
-          bench_streaming_pool(cfg, workers=4, transfer=transfer), "audio-s/s")
-    # single-process path kept for round-over-round continuity
+    pooled, regime = bench_streaming_pool(cfg, workers=4, transfer=transfer)
+    _emit("streaming_audio_seconds_per_sec", pooled, "audio-s/s",
+          transfer=transfer, **(regime or {}))
+    # single-process path kept for round-over-round continuity (note the
+    # encoding: rounds <=2 measured int16 here, round >=3 defaults to int8)
     infer_packed, _, _ = _build_infer(cfg, packed=True,
                                       int8_input=transfer == "int8")
     _emit("streaming_single_process_audio_seconds_per_sec",
-          bench_streaming(cfg, infer_packed, None, transfer=transfer), "audio-s/s")
+          bench_streaming(cfg, infer_packed, None, transfer=transfer),
+          "audio-s/s", transfer=transfer)
     # #4 training step throughput
     _emit("train_audio_seconds_per_sec", bench_train_step(cfg), "audio-s/s")
     # #5 scaled backbone (Bottleneck [3,4,6,3])

@@ -19,6 +19,9 @@ from audioyolo_tpu.models import AudioDetectionModel
 
 from synth import synth_clip
 
+# compile-heavy / multi-process: excluded from the fast tier (-m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny(tmp_path_factory):

@@ -20,6 +20,9 @@ from audioyolo_tpu.train import AudioDetectionLoss, TrainerPipeline, make_optimi
 
 from synth import CLASS_FREQS, make_flat_dataset, synth_clip
 
+# compile-heavy / multi-process: excluded from the fast tier (-m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def trained(tmp_path_factory):

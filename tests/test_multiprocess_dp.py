@@ -31,6 +31,9 @@ from audioyolo_tpu.train import AudioDetectionLoss, TrainerPipeline, make_optimi
 
 from synth import make_flat_dataset
 
+# compile-heavy / multi-process: excluded from the fast tier (-m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def _free_port() -> int:
     with socket.socket() as s:

@@ -16,6 +16,9 @@ from synth import synth_clip
 import serve as serve_mod
 from audioyolo_tpu.data.wavio import write_wav
 
+# compile-heavy / multi-process: excluded from the fast tier (-m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def server():

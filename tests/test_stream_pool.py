@@ -22,6 +22,9 @@ from audioyolo_tpu.data.wavio import write_wav
 from audioyolo_tpu.infer import evaluate_audio
 from audioyolo_tpu.infer.pool import StreamWorkerPool
 
+# compile-heavy / multi-process: excluded from the fast tier (-m 'not slow')
+pytestmark = pytest.mark.slow
+
 EVAL_KWARGS = dict(
     input_sample_rate=8000,
     sample_duration=4.0,

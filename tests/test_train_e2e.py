@@ -16,6 +16,9 @@ from audioyolo_tpu.train import AudioDetectionLoss, TrainerPipeline, make_optimi
 
 from synth import make_flat_dataset
 
+# compile-heavy / multi-process: excluded from the fast tier (-m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def _build(tiny_cfg, num_classes, mesh=None, steps_per_epoch=3, **trainer_kwargs):
     model = AudioDetectionModel.from_config(tiny_cfg, num_classes=num_classes)

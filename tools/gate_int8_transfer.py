@@ -7,10 +7,12 @@ event mAP@0.5 / mAP@[.5:.95] for both plus a row-level event diff. The
 bench streaming posture only adopts ``transfer='int8'`` if this gate shows
 detection equivalence (docs/PERFORMANCE.md "int8 waveform transfer").
 
-Usage:
+Usage (train.py writes the class map to the cwd-relative
+``train_config.class_map_path`` — the repo-root ``idx2class_mapping/`` for
+the shipped config, regardless of where the model checkpoint lands):
     python tools/gate_int8_transfer.py --dataset_path /tmp/demo_ds \
         --model_path /tmp/demo_run/saved_model/AudioDetectionModel.msgpack \
-        --class_map /tmp/demo_run/saved_model/../../idx2class_mapping/class_map.json
+        --class_map idx2class_mapping/class_map.json
 """
 
 from __future__ import annotations
