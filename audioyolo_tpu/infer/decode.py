@@ -142,6 +142,8 @@ def make_inference_fn(
         def infer(audio):
             return jitted(dev_vars, audio)
 
+        infer.jitted = jitted  # for cost_analysis / AOT introspection
+        infer.dev_vars = dev_vars
         return infer
 
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -203,6 +205,8 @@ def make_multi_inference_fn(
             )
         return jitted(dev_vars, *audios)
 
+    infer.jitted = jitted  # for cost_analysis / AOT introspection
+    infer.dev_vars = dev_vars
     return infer
 
 

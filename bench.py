@@ -175,6 +175,36 @@ def _build_infer(cfg, block=None, layers=None, keep_k=128, packed=False, n_dispa
     return infer_fn, frame_fn, raw
 
 
+# TPU v5e peaks (public spec): ~197 TF/s bf16, ~394 TOP/s int8, ~819 GB/s HBM
+V5E_BF16_PEAK = 197e12
+V5E_HBM_GBPS = 819.0
+
+
+def _cost_fields(jitted, example_args, dt_dispatch):
+    """Whole-graph FLOPs/bytes from XLA's compiled cost model -> MFU fields.
+
+    ``dt_dispatch`` is the measured steady wall time of ONE dispatch of this
+    program. MFU is reported against the v5e bf16 matmul peak (int8-quantized
+    convs count their MACs the same way, so the int8 posture's 'MFU' reads
+    conservatively: the same graph at the same wall time reports the same
+    number). ``hbm_pct`` is bytes-accessed / wall vs HBM peak — whichever of
+    the two percentages is higher names the binding resource."""
+    try:
+        ca = jitted.lower(*example_args).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0))
+        by = float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        return {}
+    if not flops or dt_dispatch <= 0:
+        return {}
+    return {
+        "tflops_per_dispatch": round(flops / 1e12, 3),
+        "mfu_pct": round(100.0 * flops / dt_dispatch / V5E_BF16_PEAK, 2),
+        "hbm_pct": round(100.0 * by / 1e9 / dt_dispatch / V5E_HBM_GBPS, 2),
+    }
+
+
 def _steady_state(fn, arg, iters=ITERS, warmup=WARMUP):
     out = None
     for _ in range(warmup):
@@ -215,14 +245,21 @@ def _bench_input(cfg, frame_fn, batch, seed):
     return out
 
 
-def bench_batched(cfg, infer_fn, frame_fn, batch=BATCH_INFER, n_dispatch=1):
+def bench_batched(cfg, infer_fn, frame_fn, batch=BATCH_INFER, n_dispatch=1,
+                  with_cost=False):
     if n_dispatch > 1:
         batches = [_bench_input(cfg, frame_fn, batch, i) for i in range(n_dispatch)]
-        dt = _steady_state(infer_fn, batches) / n_dispatch
+        dt_dispatch = _steady_state(infer_fn, batches)
+        dt = dt_dispatch / n_dispatch
+        cost_args = (infer_fn.dev_vars, *batches)
     else:
         audio = _bench_input(cfg, frame_fn, batch, 0)
-        dt = _steady_state(infer_fn, audio)
-    return batch * float(cfg.sample_duration) / dt
+        dt = dt_dispatch = _steady_state(infer_fn, audio)
+        cost_args = (infer_fn.dev_vars, audio)
+    thr = batch * float(cfg.sample_duration) / dt
+    if not with_cost:
+        return thr
+    return thr, _cost_fields(infer_fn.jitted, cost_args, dt_dispatch)
 
 
 def bench_single_clip(cfg, infer_fn_b1, frame_fn):
@@ -385,7 +422,8 @@ def bench_train_step(cfg):
         state, m = trainer._train_multi(state, *flat)
     jax.block_until_ready(m)
     dt = (time.perf_counter() - t0) / (iters * S)
-    return BATCH * float(cfg.sample_duration) / dt
+    cost = _cost_fields(trainer._train_multi, (state, *flat), dt * S)
+    return BATCH * float(cfg.sample_duration) / dt, cost
 
 
 def main():
@@ -402,8 +440,9 @@ def main():
     # headline (#2): batched offline inference, folded, int8 PTQ body
     # (bf16 stem/heads/frontend), framed input, 4 batches per host dispatch
     # (see _build_infer)
-    _emit("audio_seconds_per_sec_per_chip",
-          bench_batched(cfg, infer_multi, frame_fn, n_dispatch=N_DISPATCH), "audio-s/s")
+    thr, cost = bench_batched(cfg, infer_multi, frame_fn, n_dispatch=N_DISPATCH,
+                              with_cost=True)
+    _emit("audio_seconds_per_sec_per_chip", thr, "audio-s/s", **cost)
 
     if not args.full:
         return
@@ -436,15 +475,17 @@ def main():
           bench_streaming(cfg, infer_packed, None, transfer=transfer),
           "audio-s/s", transfer=transfer)
     # #4 training step throughput
-    _emit("train_audio_seconds_per_sec", bench_train_step(cfg), "audio-s/s")
+    train_thr, train_cost = bench_train_step(cfg)
+    _emit("train_audio_seconds_per_sec", train_thr, "audio-s/s", **train_cost)
     # #5 scaled backbone (Bottleneck [3,4,6,3])
     # int8 adopted here too: measured 1.114x end-to-end at this config
     # (tools/bench_int8.py --scaled: bf16 632k vs int8 704k audio-s/s)
     infer50, frame50, _ = _build_infer(
         cfg, block="Bottleneck", layers=[3, 4, 6, 3], n_dispatch=N_DISPATCH, int8=True
     )
-    _emit("scaled_backbone_audio_seconds_per_sec",
-          bench_batched(cfg, infer50, frame50, n_dispatch=N_DISPATCH), "audio-s/s")
+    thr50, cost50 = bench_batched(cfg, infer50, frame50, n_dispatch=N_DISPATCH,
+                                  with_cost=True)
+    _emit("scaled_backbone_audio_seconds_per_sec", thr50, "audio-s/s", **cost50)
 
 
 if __name__ == "__main__":
