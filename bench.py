@@ -156,9 +156,12 @@ def _build_infer(cfg, block=None, layers=None, keep_k=128, packed=False, n_dispa
         # whole-pipeline-A/B house rule. Detection-equivalent on the trained
         # demo model (mAP@0.5 0.9461 vs 0.9474 float — docs/PERFORMANCE.md).
         from audioyolo_tpu.models.quant import calibrate_quant
+        from audioyolo_tpu.utils.synth_audio import synth_event_clips
 
-        calib = (np.random.default_rng(7)
-                 .standard_normal((8, 1, cfg.clip_samples)).astype(np.float32) * 0.1)
+        # representative event audio (demo-domain statistics), not noise:
+        # tonal events drive ~20 dB more activation range through the
+        # frontend than a flat noise floor
+        calib = synth_event_clips(8, cfg.sample_rate, float(cfg.sample_duration))
         calib = frame_fn(calib[:, 0, :]) if frame_fn is not None else calib
         variables = {**variables, "quant": calibrate_quant(deploy, variables, [calib])}
     if n_dispatch > 1:

@@ -194,3 +194,21 @@ def test_packer_cache_is_bounded():
     for n in range(1, TrainerPipeline._PACKER_CACHE_MAX + 5):
         TrainerPipeline.fetch_tree({"x": jnp.zeros(n, jnp.float32)})
     assert len(TrainerPipeline._packer_cache) == TrainerPipeline._PACKER_CACHE_MAX
+
+
+def test_synth_event_clips_representative():
+    """Calibration clips (bench int8 PTQ input) must carry real events:
+    deterministic, correct shape, and tonal power well above the noise
+    floor somewhere in every batch."""
+    from audioyolo_tpu.utils.synth_audio import synth_event_clips
+
+    # 60 s clips: events have a 2.5 s minimum width, shorter durations can
+    # legitimately come out empty (the bench calibrates with 60 s clips)
+    a = synth_event_clips(4, 2000, 60.0, seed=7)
+    b = synth_event_clips(4, 2000, 60.0, seed=7)
+    assert a.shape == (4, 1, 120000) and a.dtype == np.float32
+    assert np.array_equal(a, b)
+    # per-clip RMS over 1 s windows: events are ~20 dB above the floor
+    w = 2000
+    rms = np.sqrt((a[:, 0].reshape(4, -1, w) ** 2).mean(-1))
+    assert rms.max() > 10 * rms.min()
