@@ -207,16 +207,22 @@ class BatchLoader:
             batch["clip_valid"] = np.ones(self.batch_size, bool)
         return batch
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+    def iter_spans(self):
+        """One epoch's batch index spans (advancing the shuffle epoch) —
+        shared by __iter__ and DeviceCachedLoader so both produce identical
+        batch compositions."""
         order = self._order()
         self._epoch += 1
-        n = len(order)
         spans = []
-        for s in range(0, n, self.batch_size):
+        for s in range(0, len(order), self.batch_size):
             span = order[s : s + self.batch_size]
             if len(span) < self.batch_size and self.last_batch == "drop":
                 continue
             spans.append(span)
+        return spans
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        spans = self.iter_spans()
 
         if self.prefetch == 0:
             for span in spans:
@@ -244,3 +250,89 @@ class BatchLoader:
                 raise item
             yield item
         t.join()
+
+
+class DeviceCachedLoader:
+    """Device-resident dataset cache for small corpora.
+
+    Ships every clip's audio to the device ONCE (in the wrapped loader's
+    exact transfer layout: framed int16, raw int16, or float32) and
+    reassembles each epoch's shuffled batches with an on-device gather, so
+    per-epoch host->device traffic drops from the whole dataset to the
+    target arrays (KBs). Batch compositions, shuffle order, padding policy
+    and target handling are IDENTICAL to iterating the wrapped
+    ``BatchLoader`` (it delegates to the same ``iter_spans``/target code).
+
+    Motivation (docs/PERFORMANCE.md round 4): demo-scale training re-shipped
+    ~170 MB/epoch through the tunnelled pipe; when the pipe degrades to a
+    few MB/s that dominates wall time. A 48-clip demo dataset is ~127 MB
+    framed int16 — cache it once and epochs become pure compute.
+
+    Not for multi-host sharded loaders (each host owns a dataset slice that
+    changes meaning per epoch) — ``wrap()`` refuses. HBM cost: the whole
+    dataset in transfer dtype; gate with ``max_mb``.
+    """
+
+    def __init__(self, loader: BatchLoader):
+        if loader.shard is not None:
+            raise ValueError("DeviceCachedLoader does not support sharded loaders")
+        import jax
+        import jax.numpy as jnp
+
+        self.loader = loader
+        n = len(loader.dataset)
+        # build the cache in index order using the loader's own batch path
+        # (native framed/int16 decode etc.), batch by batch
+        rows = []
+        bs = loader.batch_size
+        for s in range(0, n, bs):
+            span = np.arange(s, min(s + bs, n))
+            rows.append(loader._make_batch(span)["audio"][: len(span)])
+        audio_all = np.concatenate(rows, axis=0)
+        self._cache = jax.device_put(audio_all)
+        self._targets = loader._targets_batch(np.arange(n))
+        self._gather = jax.jit(lambda c, i: jnp.take(c, i, axis=0))
+
+    def __len__(self) -> int:
+        return len(self.loader)
+
+    @property
+    def nbytes(self) -> int:
+        return int(self._cache.size) * self._cache.dtype.itemsize
+
+    def __iter__(self):
+        import jax.numpy as jnp
+
+        loader = self.loader
+        for span in loader.iter_spans():
+            idx = np.asarray(span, np.int32)
+            n = len(idx)
+            pad = 0
+            if n < loader.batch_size and loader.last_batch == "pad":
+                pad = loader.batch_size - n
+                idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
+            batch = {k: v[idx] for k, v in self._targets.items()}
+            batch["audio"] = self._gather(self._cache, jnp.asarray(idx))
+            if pad:
+                batch["valid"] = batch["valid"].copy()
+                batch["valid"][n:] = False
+            if loader.last_batch == "pad":
+                batch["clip_valid"] = np.arange(len(idx)) < n
+            yield batch
+
+    @classmethod
+    def wrap(cls, loader: BatchLoader, max_mb: float = 512.0):
+        """Return a device-cached view of ``loader`` when the dataset fits
+        the budget (estimated in the transfer layout), else ``loader``
+        unchanged. Never caches sharded (multi-host) loaders."""
+        if loader.shard is not None or len(loader.dataset) == 0:
+            return loader
+        try:
+            probe = loader._make_batch(np.arange(min(1, len(loader.dataset))))
+        except Exception:
+            return loader
+        a = probe["audio"]
+        est_mb = a[:1].nbytes * len(loader.dataset) / 1e6
+        if est_mb > max_mb:
+            return loader
+        return cls(loader)

@@ -150,11 +150,11 @@ def _build_infer(cfg, block=None, layers=None, keep_k=128, packed=False, n_dispa
     fe = SpectralFrontend(cfg)
     frame_fn = fe.frame_host if fe.fused is not None else None
     if int8:
-        # int8 PTQ body (models/quant.py): measured end-to-end at this exact
-        # posture (B=256, 4 batches/dispatch, tools/bench_int8.py):
-        # bf16 16.19 ms/batch vs int8 14.70 ms/batch — 1.10x, adopted per the
-        # whole-pipeline-A/B house rule. Detection-equivalent on the trained
-        # demo model (mAP@0.5 0.9461 vs 0.9474 float — docs/PERFORMANCE.md).
+        # int8 PTQ body (models/quant.py): 1.10x end-to-end at this posture
+        # (bf16 16.19 vs int8 14.70 ms/batch, tools/bench_int8.py) but the
+        # round-4 accuracy gate FAILED on TPU for the strong demo model
+        # (mAP 0.18 vs 0.953; CPU backend passes at 0.955) — opt-in only,
+        # see main() and docs/PERFORMANCE.md round-4 int8 section.
         from audioyolo_tpu.models.quant import calibrate_quant
         from audioyolo_tpu.utils.synth_audio import synth_event_clips
 
@@ -456,14 +456,24 @@ def main():
 
     cfg = load_config("config/config.yaml")
     N_DISPATCH = 4
-    infer_multi, frame_fn, _ = _build_infer(cfg, n_dispatch=N_DISPATCH, int8=True)
+    # int8 PTQ body DEMOTED from the default posture (round 4): on the
+    # strong 400-epoch demo model the detection-equivalence gate FAILED on
+    # TPU (event mAP@0.5 0.18 vs 0.953 float; the same checkpoint+selection
+    # passes on the CPU backend at 0.955 — TPU int8 execution noise is ~3x
+    # CPU's and this model is PTQ-fragile; scales match across backends and
+    # the int8 conv itself is bit-exact in isolation — docs/PERFORMANCE.md
+    # round-4 int8 section). The ~1.10x end-to-end win does not survive the
+    # accuracy gate; BENCH_INT8_BODY=1 re-enables for A/B.
+    use_int8_body = os.environ.get("BENCH_INT8_BODY", "0") == "1"
+    infer_multi, frame_fn, _ = _build_infer(cfg, n_dispatch=N_DISPATCH,
+                                            int8=use_int8_body)
 
-    # headline (#2): batched offline inference, folded, int8 PTQ body
-    # (bf16 stem/heads/frontend), framed input, 4 batches per host dispatch
-    # (see _build_infer)
+    # headline (#2): batched offline inference, folded, bf16 body,
+    # framed input, 4 batches per host dispatch (see _build_infer)
     thr, cost = bench_batched(cfg, infer_multi, frame_fn, n_dispatch=N_DISPATCH,
                               with_cost=True)
-    _emit("audio_seconds_per_sec_per_chip", thr, "audio-s/s", **cost)
+    _emit("audio_seconds_per_sec_per_chip", thr, "audio-s/s",
+          body="int8" if use_int8_body else "bf16", **cost)
 
     if not args.full:
         return
@@ -506,11 +516,11 @@ def main():
     train32_thr, train32_cost = bench_train_step(cfg, batch=32)
     _emit("train_b32_audio_seconds_per_sec", train32_thr, "audio-s/s",
           batch=32, steps_per_dispatch=train_s, **train32_cost)
-    # #5 scaled backbone (Bottleneck [3,4,6,3])
-    # int8 adopted here too: measured 1.114x end-to-end at this config
-    # (tools/bench_int8.py --scaled: bf16 632k vs int8 704k audio-s/s)
+    # #5 scaled backbone (Bottleneck [3,4,6,3]) — bf16 body (int8 demoted,
+    # see headline note; it measured 1.114x but fails the accuracy gate)
     infer50, frame50, _ = _build_infer(
-        cfg, block="Bottleneck", layers=[3, 4, 6, 3], n_dispatch=N_DISPATCH, int8=True
+        cfg, block="Bottleneck", layers=[3, 4, 6, 3], n_dispatch=N_DISPATCH,
+        int8=use_int8_body
     )
     thr50, cost50 = bench_batched(cfg, infer50, frame50, n_dispatch=N_DISPATCH,
                                   with_cost=True)

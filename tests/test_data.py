@@ -174,3 +174,36 @@ def test_loader_sharding_partitions_epoch(tmp_path):
 
     with pytest.raises(ValueError):
         BatchLoader(ds, 2, shard=(3, 3))
+
+
+def test_device_cached_loader_matches_batchloader(tmp_path):
+    """DeviceCachedLoader must reproduce BatchLoader's batches exactly —
+    same shuffle order, same audio rows, same targets, same padding — for
+    every last_batch policy and transfer dtype."""
+    import numpy as np
+
+    from audioyolo_tpu.data.loader import DeviceCachedLoader
+
+    root = str(tmp_path / "train")
+    ann = make_flat_dataset(root, n_files=5)
+    ds = AudioDataset(root, ann, sample_duration=4, sample_rate=8000, max_targets=8)
+
+    for policy in ("partial", "pad", "drop"):
+        for dt in ("float32", "int16"):
+            ref = BatchLoader(ds, 2, shuffle=True, seed=7, last_batch=policy,
+                              transfer_dtype=dt)
+            cached = DeviceCachedLoader.wrap(
+                BatchLoader(ds, 2, shuffle=True, seed=7, last_batch=policy,
+                            transfer_dtype=dt))
+            assert isinstance(cached, DeviceCachedLoader), (policy, dt)
+            assert len(cached) == len(ref)
+            for _ in range(2):  # two epochs: shuffle stays in lockstep
+                for rb, cb in zip(list(ref), list(cached), strict=True):
+                    assert set(rb) == set(cb), (policy, dt)
+                    for k in rb:
+                        np.testing.assert_array_equal(
+                            rb[k], np.asarray(cb[k]), err_msg=f"{policy}/{dt}/{k}")
+
+    # budget gate: a tiny max_mb must return the plain loader
+    plain = DeviceCachedLoader.wrap(BatchLoader(ds, 2), max_mb=0.0001)
+    assert isinstance(plain, BatchLoader)
