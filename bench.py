@@ -253,17 +253,36 @@ def bench_batched(cfg, infer_fn, frame_fn, batch=BATCH_INFER, n_dispatch=1,
                   with_cost=False):
     if n_dispatch > 1:
         batches = [_bench_input(cfg, frame_fn, batch, i) for i in range(n_dispatch)]
-        dt_dispatch = _steady_state(infer_fn, batches)
-        dt = dt_dispatch / n_dispatch
-        cost_args = (infer_fn.dev_vars, *batches)
+        arg, cost_args = batches, (infer_fn.dev_vars, *batches)
     else:
         audio = _bench_input(cfg, frame_fn, batch, 0)
-        dt = dt_dispatch = _steady_state(infer_fn, audio)
-        cost_args = (infer_fn.dev_vars, audio)
+        arg, cost_args = audio, (infer_fn.dev_vars, audio)
+    cost = {}
+    for attempt in range(4):
+        dt_dispatch = _steady_state(infer_fn, arg)
+        # Validate the timed work actually ran: the tunnelled runtime has
+        # been observed returning instantly from block_until_ready without
+        # executing (a train run once "measured" 13.1M audio-s/s; an
+        # inference run 231M at 11,000% MFU). Physically-impossible
+        # utilization = silent failure -> back off and re-measure.
+        cost = _cost_fields(infer_fn.jitted, cost_args, dt_dispatch)
+        impossible = cost and (cost["mfu_pct"] > 100.0 or cost["hbm_pct"] > 180.0)
+        out = infer_fn(arg)
+        flat = jax.tree.leaves(out)
+        finite = all(np.isfinite(np.asarray(l)).all() for l in flat)
+        if finite and not impossible:
+            break
+        time.sleep(5 * (attempt + 1))
+    else:
+        raise RuntimeError(
+            f"bench_batched: no valid measurement in 4 attempts "
+            f"(last cost={cost})"
+        )
+    dt = dt_dispatch / max(n_dispatch, 1)
     thr = batch * float(cfg.sample_duration) / dt
     if not with_cost:
         return thr
-    return thr, _cost_fields(infer_fn.jitted, cost_args, dt_dispatch)
+    return thr, cost
 
 
 def bench_single_clip(cfg, infer_fn_b1, frame_fn):
@@ -428,23 +447,27 @@ def bench_train_step(cfg, batch=None):
     state, m = trainer._train_multi(state, *flat)  # compile
     jax.block_until_ready(m)
     iters = 8
-    step0 = int(state.step)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = trainer._train_multi(state, *flat)
-    jax.block_until_ready(m)
-    dt = (time.perf_counter() - t0) / (iters * S)
-    # validate the timed work actually ran: fetch the last metrics vector and
-    # the optimizer step counter (a silently-failed remote execution would
-    # otherwise report nonsense throughput)
-    mv = np.asarray(m)
-    assert np.isfinite(mv).all(), f"non-finite train metrics: {mv}"
-    steps_done = int(state.step) - step0
-    assert steps_done == iters * S, (
-        f"train bench executed {steps_done} steps, expected {iters * S}"
+    for attempt in range(4):
+        step0 = int(state.step)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = trainer._train_multi(state, *flat)
+        jax.block_until_ready(m)
+        dt = (time.perf_counter() - t0) / (iters * S)
+        # validate the timed work actually ran (see bench_batched: the
+        # tunnelled runtime has returned instantly without executing)
+        mv = np.asarray(m)
+        steps_done = int(state.step) - step0
+        cost = _cost_fields(trainer._train_multi, (state, *flat), dt * S)
+        ok = (np.isfinite(mv).all() and steps_done == iters * S
+              and not (cost and cost["mfu_pct"] > 100.0))
+        if ok:
+            return B * float(cfg.sample_duration) / dt, cost
+        time.sleep(5 * (attempt + 1))
+    raise RuntimeError(
+        f"bench_train_step: no valid measurement in 4 attempts "
+        f"(steps_done={steps_done}, cost={cost})"
     )
-    cost = _cost_fields(trainer._train_multi, (state, *flat), dt * S)
-    return B * float(cfg.sample_duration) / dt, cost
 
 
 def main():
