@@ -209,16 +209,36 @@ def _cost_fields(jitted, example_args, dt_dispatch):
     }
 
 
+def _force(out):
+    """Force REAL completion of ``out``'s producing program via a
+    device->host fetch of one output leaf. ``block_until_ready`` through the
+    tunnelled runtime intermittently returns without waiting (whole periods
+    where every readiness future resolves instantly — a 4096^2 matmul
+    "completed" in 0.02 ms); a data fetch cannot lie, since the bytes only
+    exist once the program has written them."""
+    np.asarray(jax.tree.leaves(out)[0])
+
+
 def _steady_state(fn, arg, iters=ITERS, warmup=WARMUP):
+    """Fetch-differenced steady-state timing: time (N dispatches + fetch)
+    minus (1 dispatch + fetch) so the fetch round trip and per-call host
+    overhead common to both cancel. Robust in both tunnel modes."""
     out = None
     for _ in range(warmup):
         out = fn(arg)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(arg)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    _force(out)
+
+    def timed(n):
+        o = None
+        t0 = time.perf_counter()
+        for _ in range(n):
+            o = fn(arg)
+        _force(o)
+        return time.perf_counter() - t0
+
+    t1 = timed(1)
+    tn = timed(iters + 1)
+    return max(tn - t1, 1e-9) / iters
 
 
 _gen_cache = {}
@@ -447,19 +467,27 @@ def bench_train_step(cfg, batch=None):
     state, m = trainer._train_multi(state, *flat)  # compile
     jax.block_until_ready(m)
     iters = 8
+
+    def timed(n):
+        nonlocal state
+        m = None
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, m = trainer._train_multi(state, *flat)
+        mv = np.asarray(m)  # data-dependent sync (see _force)
+        return time.perf_counter() - t0, mv
+
     for attempt in range(4):
         step0 = int(state.step)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state, m = trainer._train_multi(state, *flat)
-        jax.block_until_ready(m)
-        dt = (time.perf_counter() - t0) / (iters * S)
-        # validate the timed work actually ran (see bench_batched: the
-        # tunnelled runtime has returned instantly without executing)
-        mv = np.asarray(m)
+        t1, _ = timed(1)
+        tn, mv = timed(iters + 1)
+        dt = max(tn - t1, 1e-9) / (iters * S)
+        # validate the timed work actually ran (the tunnelled runtime has
+        # returned from block_until_ready without executing; the fetch-based
+        # sync above resists that, these checks catch anything left)
         steps_done = int(state.step) - step0
         cost = _cost_fields(trainer._train_multi, (state, *flat), dt * S)
-        ok = (np.isfinite(mv).all() and steps_done == iters * S
+        ok = (np.isfinite(mv).all() and steps_done == (iters + 2) * S
               and not (cost and cost["mfu_pct"] > 100.0))
         if ok:
             return B * float(cfg.sample_duration) / dt, cost
