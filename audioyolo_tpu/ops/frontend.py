@@ -310,7 +310,21 @@ class SpectralFrontend:
             "highest": jax.lax.Precision.HIGHEST,
             "high": jax.lax.Precision.HIGH,
             "default": jax.lax.Precision.DEFAULT,
+            # "bf16": DEFAULT precision + bf16-STORED spectrum on the fused
+            # path (ops/fused_frontend.py __call__ storage_dtype) — halves
+            # the ~1 GB/batch spectrum intermediate; numerics add only the
+            # output-store rounding on top of "default"'s bf16 MXU passes.
+            # Measured NEGATIVE end-to-end at the headline posture (18.2 vs
+            # 15.4 ms/batch — the pre-GEMM cast materializes its own copy);
+            # kept opt-in as a documented negative result.
+            "bf16": jax.lax.Precision.DEFAULT,
+            # "int8": int8 x int8 -> int32 DFT GEMM on the MXU (2x bf16
+            # peak) for host-quantized int8 framed input — see
+            # fused_frontend.int8_matrix/power_int8 and __call__ below
+            "int8": jax.lax.Precision.DEFAULT,
         }[prec_name]
+        self.fused_storage_dtype = jnp.bfloat16 if prec_name == "bf16" else None
+        self.fused_int8 = prec_name == "int8"
 
         self.mel = MelBranch(mel_cfg, self.sr_model, precision=self.precision)
         self.n_mels = self.mel.n_mels
@@ -387,15 +401,66 @@ class SpectralFrontend:
             audio = audio[:, 0, :]
         return self.fused.frame_host(np.asarray(audio))
 
+    def frame_host_int8(self, audio: np.ndarray):
+        """Host framing + per-clip symmetric int8 quantization for the
+        ``frontend_precision: int8`` posture: (B, S) or (B, 1, S) raw audio
+        -> ``(q (B, n_ph, n_groups, frame_len) int8, scale (B,) f32)`` with
+        ``q * scale`` reproducing the float frames. Ship 1/4 the f32 frame
+        bytes; the model consumes the tuple directly."""
+        frames = self.frame_host(audio)
+        if frames.dtype == np.int16:
+            f = frames.astype(np.float32) * (1.0 / 32768.0)
+        else:
+            f = frames.astype(np.float32)
+        a = np.abs(f).max(axis=(1, 2, 3))
+        scale = (np.maximum(a, 1e-12) / 127.0).astype(np.float32)
+        q = np.clip(np.round(f / scale[:, None, None, None]), -127, 127
+                    ).astype(np.int8)
+        return q, scale
+
+    def _fused_int8_mel(self, q: jax.Array, scale: jax.Array) -> jax.Array:
+        """(q int8 frames, per-clip scale) -> (B, n_ph, G, n_mels) mel power
+        in phase order. The per-column matrix scales fold into the mel
+        filterbank rows (s_k**2, precomputed once); the per-clip input scale
+        folds into the (15x smaller) mel output — the big GEMM and the
+        spectrum intermediate stay pure integer/unscaled."""
+        if not self.shared_mel or self.mel.power != 2.0:
+            raise ValueError(
+                "frontend_precision 'int8' requires shared mel/MFCC settings "
+                "and power=2"
+            )
+        p = self.fused.power_int8(q)
+        if not hasattr(self, "_mel_fb_i8"):
+            _, s_k = self.fused.int8_matrix()
+            self._mel_fb_i8 = jnp.asarray(
+                np.asarray(self.mel.mel_fb_np, np.float64)
+                * (np.asarray(s_k, np.float64)[:, None] ** 2)
+            ).astype(jnp.float32)
+        mel_rg = jnp.matmul(p, self._mel_fb_i8,
+                            preferred_element_type=jnp.float32,
+                            precision=self.precision)
+        return mel_rg * (scale[:, None, None, None] ** 2)
+
     def __call__(self, audio: jax.Array) -> jax.Array:
         """``audio``: (B, S) or (B, 1, S) waveform at the dataset sample rate,
         or phase-grouped frames (B, n_ph, n_groups, frame_len) produced by
-        :meth:`frame_host` (fused path — no device relayouts).
+        :meth:`frame_host` (fused path — no device relayouts), or the
+        ``(q int8, scale)`` tuple from :meth:`frame_host_int8` when
+        ``frontend_precision: int8``.
 
         int16 input is dequantized in-graph (``x / 32768``, the same scaling
         as the WAV readers) — shipping PCM16 to the device quarters
         host->device traffic and is lossless for 16-bit sources.
         """
+        if isinstance(audio, (tuple, list)):
+            if not self.fused_int8 or self.fused is None:
+                raise ValueError(
+                    "(q, scale) framed-int8 input requires tpu_config."
+                    "frontend_precision: int8 and the fused path"
+                )
+            q, scale = audio
+            mel_rg = self._fused_int8_mel(q, scale)
+            return self._images(self.fused.reorder_frames(mel_rg), None)
         if audio.ndim == 4:
             if self.fused is None:
                 raise ValueError("framed input given but fused path unavailable")
@@ -408,7 +473,8 @@ class SpectralFrontend:
                 # transpose moves (B, T, n_mels) instead of (B, T, n_freq)
                 mel_rg = jnp.matmul(
                     self.fused(audio, power=self.mel.power,
-                               precision=self.precision, reorder=False),
+                               precision=self.precision, reorder=False,
+                               storage_dtype=self.fused_storage_dtype),
                     self.mel.mel_fb,
                     preferred_element_type=jnp.float32,
                     precision=self.precision,

@@ -210,6 +210,49 @@ class FusedFrameDFT:
         idx = starts[..., None] + jnp.arange(self.frame_len)[None, None, :]
         return jnp.take(xp, idx, axis=-1)
 
+    # ---- int8 DFT GEMM -----------------------------------------------------
+
+    def int8_matrix(self):
+        """Per-frequency-column symmetric int8 quantization of the combined
+        window-DFT(-resampler) matrix: ``(c_i8 (n_ph, F, 2*n_freq) int8,
+        s_k (n_freq,) f32)`` with one shared scale per re/im column pair so
+        ``s_k**2`` folds into the mel filterbank rows (frontend.py).
+
+        The DFT GEMM is the model's largest op and the v5e MXU runs int8 at
+        2x its bf16 rate. Quantization error per output bin is a dot of
+        ~frame_len terms each with |err| <= absmax/254 against bounded
+        inputs — relative spectrum error ~1e-3, before log-mel compression.
+        """
+        if not hasattr(self, "_c_i8"):
+            c = np.asarray(self.c, np.float64)  # (n_ph, F, 2*n_freq)
+            nf = self.n_freq
+            colmax = np.abs(c).max(axis=(0, 1))  # (2*n_freq,)
+            s_k = np.maximum(np.maximum(colmax[:nf], colmax[nf:]), 1e-30) / 127.0
+            sc = np.concatenate([s_k, s_k])
+            self._c_i8 = np.clip(np.round(c / sc), -127, 127).astype(np.int8)
+            self._sk = s_k.astype(np.float32)
+        return self._c_i8, self._sk
+
+    def power_int8(self, q: jax.Array) -> jax.Array:
+        """int8 framed input -> UNSCALED phase-order power spectrum.
+
+        ``q``: (B, n_ph, n_groups, frame_len) int8 (host-quantized frames,
+        e.g. ``SpectralFrontend.frame_host_int8``). Returns
+        (B, n_ph, n_groups, n_freq) f32 equal to the true power spectrum
+        divided by ``(s_clip * s_k)**2`` — the caller folds ``s_k**2`` into
+        the mel matrix and ``s_clip**2`` into the (15x smaller) mel output.
+        int8 x int8 -> int32 on the MXU; exact integer accumulation
+        (max |acc| ~ 127*127*frame_len << 2^31).
+        """
+        c_i8, _ = self.int8_matrix()
+        acc = jnp.einsum(
+            "brgf,rfk->brgk", q, jnp.asarray(c_i8),
+            preferred_element_type=jnp.int32,
+        )
+        af = acc.astype(jnp.float32)
+        nf = self.n_freq
+        return af[..., :nf] ** 2 + af[..., nf:] ** 2
+
     # ---- device compute ----------------------------------------------------
 
     def reorder_frames(self, x: jax.Array) -> jax.Array:
@@ -219,7 +262,7 @@ class FusedFrameDFT:
 
     def __call__(self, framed: jax.Array, power: float = 2.0,
                  precision=jax.lax.Precision.HIGHEST,
-                 reorder: bool = True) -> jax.Array:
+                 reorder: bool = True, storage_dtype=None) -> jax.Array:
         """(B, n_ph, n_groups, frame_len) -> power spectrogram:
         (B, n_frames, n_freq) when ``reorder`` (time order), else the raw
         (B, n_ph, n_groups, n_freq) phase order. Callers that project to mel
@@ -229,18 +272,33 @@ class FusedFrameDFT:
         transpose costing 2.5 ms of pure data movement at B=256.
 
         int types are dequantized as PCM16 (x/32768) like the WAV readers.
+
+        ``storage_dtype=jnp.bfloat16``: run the DFT GEMM with bf16 operands
+        AND a bf16-stored spectrum. The DFT GEMM is the model's single
+        biggest op (59% of model FLOPs; ~1 GB of f32 spectrum written+reread
+        per 256-clip batch) and this fusion is memory/compute co-bound —
+        with ``Precision.DEFAULT`` the MXU already rounds the operands to
+        bf16 per pass, so the only numerics added is the output-store
+        rounding; the power accumulate below upcasts back to f32.
         """
         if jnp.issubdtype(framed.dtype, jnp.integer):
             framed = framed.astype(jnp.float32) * (1.0 / 32768.0)
         framed = framed.astype(jnp.float32)
+        c = jnp.asarray(self.c)
+        out_dt = jnp.float32
+        if storage_dtype is not None:
+            framed = framed.astype(storage_dtype)
+            c = c.astype(storage_dtype)
+            out_dt = storage_dtype
         # one GEMM per phase: (B, G, F) @ (F, 2*n_freq)
         spec = jnp.einsum(
-            "brgf,rfk->brgk", framed, jnp.asarray(self.c),
-            preferred_element_type=jnp.float32,
+            "brgf,rfk->brgk", framed, c,
+            preferred_element_type=out_dt,
             precision=precision,
         )
         nf = self.n_freq
-        p = spec[..., :nf] ** 2 + spec[..., nf:] ** 2  # (B, n_ph, G, n_freq)
+        spec_f = spec.astype(jnp.float32)
+        p = spec_f[..., :nf] ** 2 + spec_f[..., nf:] ** 2  # (B, n_ph, G, n_freq)
         if reorder:
             p = self.reorder_frames(p)
         if power == 2.0:

@@ -128,7 +128,14 @@ def _bench_variables(cfg, raw, block=None, layers=None):
 
 
 def _build_infer(cfg, block=None, layers=None, keep_k=128, packed=False, n_dispatch=1,
-                 int8=False, int8_input=False):
+                 int8=False, int8_input=False, frontend="int8"):
+    """``frontend``: "int8" (default for throughput postures — int8 x int8
+    DFT GEMM on the MXU at 2x the bf16 rate; host ships per-clip-quantized
+    int8 frames; measured 15.3 -> 10.9 ms/batch at B=256 and
+    detection-equivalent on the strong demo model, event mAP@0.5 0.9512 vs
+    0.9530 float — docs/PERFORMANCE.md round 4) or "default" (bf16 MXU
+    passes, f32 frames). The shipped config default stays "highest" for
+    checkpoint parity."""
     from audioyolo_tpu.infer import make_inference_fn
     from audioyolo_tpu.infer.decode import make_multi_inference_fn
     from audioyolo_tpu.models import AudioDetectionModel, fold_repvgg
@@ -138,17 +145,24 @@ def _build_infer(cfg, block=None, layers=None, keep_k=128, packed=False, n_dispa
     if block:
         raw["resnet_config"] = {"block": block}
         raw["block_layers"] = list(layers)
-    # serving posture (like the folded RepVGG + bf16 body below): single-pass
-    # bf16 MXU frontend GEMMs — detection-equivalent to fp32 (event mAP@0.5
-    # matches to 4 decimals on the trained demo model, docs/PERFORMANCE.md);
-    # the shipped config default stays "highest" for checkpoint parity
-    raw.setdefault("tpu_config", {})["frontend_precision"] = "default"
-    variables = _bench_variables(cfg, raw, block, layers)
+    raw.setdefault("tpu_config", {})["frontend_precision"] = frontend
+    # weights are frontend-posture-independent; key the shared file on the
+    # plain posture so all builds reuse one init
+    raw_vars = {**raw, "tpu_config": {**raw["tpu_config"],
+                                      "frontend_precision": "default"}}
+    variables = _bench_variables(cfg, raw_vars, block, layers)
     deploy = AudioDetectionModel.from_config(
         raw, num_classes=NUM_CLASSES, deploy=True, dtype=jnp.bfloat16
     )
-    fe = SpectralFrontend(cfg)
-    frame_fn = fe.frame_host if fe.fused is not None else None
+    from audioyolo_tpu.config import Config
+
+    fe = SpectralFrontend(Config(raw))
+    if fe.fused is None:
+        frame_fn = None
+    elif fe.fused_int8:
+        frame_fn = fe.frame_host_int8  # -> (q int8, scale) tuple
+    else:
+        frame_fn = fe.frame_host
     if int8:
         # int8 PTQ body (models/quant.py): 1.10x end-to-end at this posture
         # (bf16 16.19 vs int8 14.70 ms/batch, tools/bench_int8.py) but the
@@ -256,8 +270,20 @@ def _bench_input(cfg, frame_fn, batch, seed):
     of setup per cold run. Per-frame iid noise is compute-identical to framed
     noise (same shapes, same ops; detections are meaningless either way)."""
     if frame_fn is not None:
-        shape = (batch,) + frame_fn(
-            np.zeros((1, cfg.clip_samples), np.float32)).shape[1:]
+        probe = frame_fn(np.zeros((1, cfg.clip_samples), np.float32))
+        if isinstance(probe, tuple):  # int8 frontend: (q frames, scale)
+            shape = (batch,) + probe[0].shape[1:]
+            key = ("i8",) + shape
+            gen = _gen_cache.get(key)
+            if gen is None:
+                gen = _gen_cache[key] = jax.jit(lambda k: (
+                    jax.random.randint(k, shape, -127, 128, jnp.int8),
+                    jnp.full((batch,), 0.1 / 127.0, jnp.float32),
+                ))
+            out = gen(jax.random.PRNGKey(seed))
+            jax.block_until_ready(out)
+            return out
+        shape = (batch,) + probe.shape[1:]
     else:
         shape = (batch, 1, cfg.clip_samples)
     gen = _gen_cache.get(shape)
@@ -516,15 +542,19 @@ def main():
     # round-4 int8 section). The ~1.10x end-to-end win does not survive the
     # accuracy gate; BENCH_INT8_BODY=1 re-enables for A/B.
     use_int8_body = os.environ.get("BENCH_INT8_BODY", "0") == "1"
+    # frontend posture: int8 DFT GEMM (gate-passed, 1.40x) unless the
+    # opt-in int8 BODY is enabled (its calibration path needs float frames)
+    fe_mode = "default" if use_int8_body else "int8"
     infer_multi, frame_fn, _ = _build_infer(cfg, n_dispatch=N_DISPATCH,
-                                            int8=use_int8_body)
+                                            int8=use_int8_body,
+                                            frontend=fe_mode)
 
-    # headline (#2): batched offline inference, folded, bf16 body,
-    # framed input, 4 batches per host dispatch (see _build_infer)
+    # headline (#2): batched offline inference, folded, bf16 body, int8 DFT
+    # frontend, int8 framed input, 4 batches per host dispatch
     thr, cost = bench_batched(cfg, infer_multi, frame_fn, n_dispatch=N_DISPATCH,
                               with_cost=True)
     _emit("audio_seconds_per_sec_per_chip", thr, "audio-s/s",
-          body="int8" if use_int8_body else "bf16", **cost)
+          body="int8" if use_int8_body else "bf16", frontend=fe_mode, **cost)
 
     if not args.full:
         return
@@ -571,11 +601,12 @@ def main():
     # see headline note; it measured 1.114x but fails the accuracy gate)
     infer50, frame50, _ = _build_infer(
         cfg, block="Bottleneck", layers=[3, 4, 6, 3], n_dispatch=N_DISPATCH,
-        int8=use_int8_body
+        int8=use_int8_body, frontend=fe_mode
     )
     thr50, cost50 = bench_batched(cfg, infer50, frame50, n_dispatch=N_DISPATCH,
                                   with_cost=True)
-    _emit("scaled_backbone_audio_seconds_per_sec", thr50, "audio-s/s", **cost50)
+    _emit("scaled_backbone_audio_seconds_per_sec", thr50, "audio-s/s",
+          frontend=fe_mode, **cost50)
 
 
 if __name__ == "__main__":

@@ -229,3 +229,60 @@ def test_fused_rejects_overlapping_phase_windows(tiny_cfg):
     wav = np.zeros((1, raw["sample_duration"] * 8000), np.float32)
     out = np.asarray(fe(jnp.asarray(wav)))
     assert np.isfinite(out).all()
+
+
+def test_bf16_storage_mode_close(full_cfg):
+    """frontend_precision 'bf16' (bf16-stored spectrum) must track the fp32
+    fused features closely — it only adds output-store rounding on top of
+    DEFAULT's bf16 MXU passes. (Measured slower end-to-end on the real chip
+    — kept as a documented opt-in; docs/PERFORMANCE.md round 4.)"""
+    import copy
+
+    raw = copy.deepcopy(full_cfg.to_dict())
+    raw.setdefault("tpu_config", {})["frontend_precision"] = "bf16"
+    from audioyolo_tpu.config import Config
+
+    fe16 = SpectralFrontend(Config(raw))
+    fe32 = SpectralFrontend(full_cfg)
+    rng = np.random.default_rng(1)
+    wav = (rng.standard_normal((2, full_cfg.clip_samples)) * 0.1).astype(np.float32)
+    framed = fe32.frame_host(wav)
+    a = np.asarray(fe16(jnp.asarray(framed)))
+    b = np.asarray(fe32(jnp.asarray(framed)))
+    # features are standardized per (sample, channel): compare absolutely.
+    # The MFCC channel's 80 dB floor discontinuity amplifies isolated cells
+    # (measured max ~1.54) — the mean bound is the meaningful one.
+    assert np.abs(a - b).mean() < 0.05
+    assert np.abs(a - b).max() < 2.5
+
+
+def test_int8_dft_mode_close(full_cfg):
+    """frontend_precision 'int8' (int8 DFT GEMM, host-quantized frames):
+    per-column matrix scales fold into the mel matrix, per-clip input scale
+    folds in after mel — algebra is exact, the only noise is the int8
+    rounding of frames (~48 dB) and matrix (~1e-3 relative). Features must
+    track the fp32 path closely."""
+    import copy
+
+    raw = copy.deepcopy(full_cfg.to_dict())
+    raw.setdefault("tpu_config", {})["frontend_precision"] = "int8"
+    from audioyolo_tpu.config import Config
+
+    fe8 = SpectralFrontend(Config(raw))
+    fe32 = SpectralFrontend(full_cfg)
+    assert fe8.fused_int8 and fe8.fused is not None
+    rng = np.random.default_rng(2)
+    wav = (rng.standard_normal((2, full_cfg.clip_samples)) * 0.1).astype(np.float32)
+    q, scale = fe8.frame_host_int8(wav)
+    assert q.dtype == np.int8 and scale.shape == (2,)
+    a = np.asarray(fe8((jnp.asarray(q), jnp.asarray(scale))))
+    b = np.asarray(fe32(jnp.asarray(fe32.frame_host(wav))))
+    assert a.shape == b.shape
+    assert np.abs(a - b).mean() < 0.06, np.abs(a - b).mean()
+    assert np.abs(a - b).max() < 2.0, np.abs(a - b).max()
+
+    # int16 PCM input quantizes through the same helper
+    wav_i16 = np.clip(np.round(wav * 32768.0), -32768, 32767).astype(np.int16)
+    q2, s2 = fe8.frame_host_int8(wav_i16)
+    a2 = np.asarray(fe8((jnp.asarray(q2), jnp.asarray(s2))))
+    assert np.abs(a2 - b).mean() < 0.06
