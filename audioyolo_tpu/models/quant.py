@@ -91,7 +91,9 @@ def calibrate_quant(
     )
     absmax: Dict[Tuple[str, ...], float] = {}
     for b in batches:
-        stats = jax.device_get(apply(variables, jnp.asarray(b)))
+        # tuple batches ((q, scale) framed-int8 entry) pass through as-is
+        x = b if isinstance(b, (tuple, list)) else jnp.asarray(b)
+        stats = jax.device_get(apply(variables, x))
         for path, v in _flatten_absmax(stats).items():
             absmax[path] = max(absmax.get(path, 0.0), v)
     if not absmax:

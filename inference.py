@@ -157,11 +157,19 @@ def build_frame_fn(cfg):
     plentiful: framed input trades ~29% more transfer bytes for ~10 ms less
     device work per 32-clip batch. Streaming inference is usually
     transfer-bound, so the default ships minimum-byte int16 waveforms
-    (docs/PERFORMANCE.md)."""
+    (docs/PERFORMANCE.md).
+
+    With ``tpu_config.frontend_precision: int8`` the framer is the
+    per-clip-quantizing :meth:`frame_host_int8` — the model's DFT GEMM runs
+    int8 on the MXU at 2x the bf16 rate and the framed transfer drops to
+    1/4 the f32 bytes (gate-passed detection equivalence;
+    docs/PERFORMANCE.md round 4)."""
     from audioyolo_tpu.ops.frontend import SpectralFrontend
 
     fe = SpectralFrontend(cfg)
-    return fe.frame_host if fe.fused is not None else None
+    if fe.fused is None:
+        return None
+    return fe.frame_host_int8 if fe.fused_int8 else fe.frame_host
 
 
 def build_worker(config, model_path, class_map_path, iou_threshold,
