@@ -197,10 +197,13 @@ class BatchLoader:
         n = len(indices)
         if n < self.batch_size and self.last_batch == "pad":
             reps = self.batch_size - n
-            batch = {
-                k: np.concatenate([v, np.repeat(v[-1:], reps, axis=0)], axis=0)
-                for k, v in batch.items()
-            }
+
+            def _pad(v):
+                if isinstance(v, tuple):  # (q, scale) framed-int8 audio
+                    return tuple(_pad(x) for x in v)
+                return np.concatenate([v, np.repeat(v[-1:], reps, axis=0)], axis=0)
+
+            batch = {k: _pad(v) for k, v in batch.items()}
             batch["valid"][n:] = False
             batch["clip_valid"] = np.arange(self.batch_size) < n
         elif self.last_batch == "pad":
@@ -287,18 +290,34 @@ class DeviceCachedLoader:
         bs = loader.batch_size
         for s in range(0, n, bs):
             span = np.arange(s, min(s + bs, n))
-            rows.append(loader._make_batch(span)["audio"][: len(span)])
-        audio_all = np.concatenate(rows, axis=0)
+            a = loader._make_batch(span)["audio"]
+            if isinstance(a, tuple):  # (q, scale) framed-int8 audio
+                rows.append(tuple(x[: len(span)] for x in a))
+            else:
+                rows.append(a[: len(span)])
+        if rows and isinstance(rows[0], tuple):
+            audio_all = tuple(
+                np.concatenate([r[j] for r in rows], axis=0)
+                for j in range(len(rows[0]))
+            )
+            self._tuple = True
+        else:
+            audio_all = np.concatenate(rows, axis=0)
+            self._tuple = False
         self._cache = jax.device_put(audio_all)
         self._targets = loader._targets_batch(np.arange(n))
-        self._gather = jax.jit(lambda c, i: jnp.take(c, i, axis=0))
+        self._gather = jax.jit(lambda c, i: jax.tree.map(
+            lambda x: jnp.take(x, i, axis=0), c))
 
     def __len__(self) -> int:
         return len(self.loader)
 
     @property
     def nbytes(self) -> int:
-        return int(self._cache.size) * self._cache.dtype.itemsize
+        import jax
+
+        return sum(int(x.size) * x.dtype.itemsize
+                   for x in jax.tree.leaves(self._cache))
 
     def __iter__(self):
         import jax.numpy as jnp
@@ -332,7 +351,8 @@ class DeviceCachedLoader:
         except Exception:
             return loader
         a = probe["audio"]
-        est_mb = a[:1].nbytes * len(loader.dataset) / 1e6
+        leaves = a if isinstance(a, tuple) else (a,)
+        est_mb = sum(x[:1].nbytes for x in leaves) * len(loader.dataset) / 1e6
         if est_mb > max_mb:
             return loader
         return cls(loader)

@@ -92,9 +92,13 @@ class TrainerPipeline:
         init_fn = jax.jit(
             lambda rngs, x: self.model.init(rngs, x, train=False)
         )
+        if isinstance(sample_audio, (tuple, list)):
+            # (q, scale) framed-int8 entry (frontend_precision: int8)
+            sample = tuple(jnp.asarray(s[:1]) for s in sample_audio)
+        else:
+            sample = jnp.asarray(sample_audio[:1])
         variables = init_fn(
-            {"params": self.base_key, "dropout": self.base_key},
-            jnp.asarray(sample_audio[:1]),
+            {"params": self.base_key, "dropout": self.base_key}, sample,
         )
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})

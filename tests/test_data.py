@@ -207,3 +207,44 @@ def test_device_cached_loader_matches_batchloader(tmp_path):
     # budget gate: a tiny max_mb must return the plain loader
     plain = DeviceCachedLoader.wrap(BatchLoader(ds, 2), max_mb=0.0001)
     assert isinstance(plain, BatchLoader)
+
+
+def test_device_cached_loader_tuple_audio(tmp_path):
+    """(q, scale) framed-int8 audio (frontend_precision 'int8') must cache
+    and gather identically to the plain BatchLoader, including pad mode."""
+    import copy
+
+    import numpy as np
+
+    from conftest import TINY_CFG
+    from audioyolo_tpu.config import Config
+    from audioyolo_tpu.data.loader import DeviceCachedLoader
+    from audioyolo_tpu.ops.frontend import SpectralFrontend
+
+    raw = copy.deepcopy(TINY_CFG)
+    raw.setdefault("tpu_config", {})["frontend_precision"] = "int8"
+    fe = SpectralFrontend(Config(raw))
+    assert fe.fused_int8
+
+    root = str(tmp_path / "train")
+    ann = make_flat_dataset(root, n_files=5)
+    ds = AudioDataset(root, ann, sample_duration=4, sample_rate=8000, max_targets=8)
+
+    for policy in ("partial", "pad"):
+        ref = BatchLoader(ds, 2, shuffle=True, seed=3, last_batch=policy,
+                          frame_fn=fe.frame_host_int8)
+        cached = DeviceCachedLoader.wrap(
+            BatchLoader(ds, 2, shuffle=True, seed=3, last_batch=policy,
+                        frame_fn=fe.frame_host_int8))
+        assert isinstance(cached, DeviceCachedLoader)
+        for rb, cb in zip(list(ref), list(cached), strict=True):
+            assert isinstance(rb["audio"], tuple) and len(rb["audio"]) == 2
+            for j in range(2):
+                np.testing.assert_array_equal(
+                    rb["audio"][j], np.asarray(cb["audio"][j]),
+                    err_msg=f"{policy}/audio[{j}]")
+            for k in rb:
+                if k == "audio":
+                    continue
+                np.testing.assert_array_equal(rb[k], np.asarray(cb[k]),
+                                              err_msg=f"{policy}/{k}")

@@ -97,7 +97,14 @@ def run(cfg, data_parallel: bool = False, resume: bool = False):
         from audioyolo_tpu.ops.frontend import SpectralFrontend
 
         _fe = SpectralFrontend(cfg)
-        if _fe.fused is not None:
+        if _fe.fused is not None and _fe.fused_int8:
+            # frontend_precision 'int8': ship per-clip-quantized int8 frames
+            # — the DFT GEMM runs int8 on the MXU at 2x the bf16 rate
+            # (docs/PERFORMANCE.md round 4; detection gate-passed, training
+            # convergence gate in docs/RESULTS.md). The native int16 framed
+            # decode (framer) doesn't produce tuples, so it stays off here.
+            frame_fn = _fe.frame_host_int8
+        elif _fe.fused is not None:
             frame_fn, framer = _fe.frame_host, _fe.fused
     # multi-host DP: each host loads a disjoint 1/process_count slice of the
     # globally-shuffled epoch (equal lengths — lockstep collectives)
