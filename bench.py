@@ -443,11 +443,16 @@ def bench_train_step(cfg, batch=None):
     # for round-over-round continuity.
     B = int(batch if batch is not None else os.environ.get("BENCH_TRAIN_B", "128"))
 
-    # training posture mirrors serving: bf16 detector body AND bf16 frontend
-    # GEMMs (the frontend has no trainable params — fwd only; fp32 HIGHEST
-    # there was 3.6 ms of the 9.7 ms step)
+    # training posture mirrors serving: bf16 detector body AND the int8 DFT
+    # frontend (the frontend has no trainable params — fwd only). int8
+    # measured 441k -> 492k audio-s/s at B=128 S=8; convergence gate: the
+    # 400-epoch demo retrain through the int8 frontend reached event mAP@0.5
+    # 0.9748 / mAP@[.5:.95] 0.799 vs the float-frontend run's 0.953/0.763
+    # (docs/RESULTS.md). BENCH_TRAIN_FRONTEND=default reproduces the bf16
+    # numbers.
     raw = cfg.to_dict()
-    raw.setdefault("tpu_config", {})["frontend_precision"] = "default"
+    raw.setdefault("tpu_config", {})["frontend_precision"] = os.environ.get(
+        "BENCH_TRAIN_FRONTEND", "int8")
     cfg = Config(raw)
     model = AudioDetectionModel.from_config(cfg, num_classes=NUM_CLASSES, dtype=jnp.bfloat16)
     tc = cfg.raw["train_config"]
@@ -472,7 +477,9 @@ def bench_train_step(cfg, batch=None):
 
     fe = SpectralFrontend(cfg)
     audio = (rng.standard_normal((B, 1, cfg.clip_samples)) * 0.1).astype(np.float32)
-    if fe.fused is not None:  # framed training input (the loader frame_fn path)
+    if fe.fused is not None and fe.fused_int8:
+        audio = fe.frame_host_int8(audio[:, 0, :])  # (q, scale) tuple entry
+    elif fe.fused is not None:  # framed training input (the loader frame_fn path)
         audio = fe.frame_host(audio[:, 0, :])
     batch = {
         "audio": audio,
@@ -481,7 +488,7 @@ def bench_train_step(cfg, batch=None):
         "widths": rng.uniform(0.5, 30, (B, n)).astype(np.float32),
         "valid": np.ones((B, n), bool),
     }
-    state = trainer.create_state(batch["audio"][:1])
+    state = trainer.create_state(batch["audio"])  # create_state slices to 1
     trainer._build_steps()
     # S device-resident batches (distinct buffers, like the prefetching loader)
     flat = []
@@ -591,12 +598,15 @@ def main():
     # batch-32 posture for round-over-round continuity
     train_b = int(os.environ.get("BENCH_TRAIN_B", "128"))
     train_s = int(os.environ.get("BENCH_TRAIN_S", "8"))
+    train_fe = os.environ.get("BENCH_TRAIN_FRONTEND", "int8")
     train_thr, train_cost = bench_train_step(cfg, batch=train_b)
     _emit("train_audio_seconds_per_sec", train_thr, "audio-s/s",
-          batch=train_b, steps_per_dispatch=train_s, **train_cost)
+          batch=train_b, steps_per_dispatch=train_s, frontend=train_fe,
+          **train_cost)
     train32_thr, train32_cost = bench_train_step(cfg, batch=32)
     _emit("train_b32_audio_seconds_per_sec", train32_thr, "audio-s/s",
-          batch=32, steps_per_dispatch=train_s, **train32_cost)
+          batch=32, steps_per_dispatch=train_s, frontend=train_fe,
+          **train32_cost)
     # #5 scaled backbone (Bottleneck [3,4,6,3]) — bf16 body (int8 demoted,
     # see headline note; it measured 1.114x but fails the accuracy gate)
     infer50, frame50, _ = _build_infer(
