@@ -38,6 +38,7 @@ def _worker_main() -> int:
     from .streaming import evaluate_audio
 
     resampler_cache: dict = {}
+    probe_state: dict = {}  # buffer staged by probe_prep for probe_go
     for line in sys.stdin:
         job = json.loads(line)
         try:
@@ -60,6 +61,36 @@ def _worker_main() -> int:
                 t0 = time.perf_counter()
                 jax.block_until_ready(jax.device_put(arr))
                 out = {"ok": True, "seconds": time.perf_counter() - t0, "mb": mb}
+            elif job["op"] == "probe_prep":
+                # stage the buffer + enter the journaled-put regime NOW so
+                # the later "probe_go" measures only the put — the prep/go
+                # split is the start barrier that makes concurrent probes
+                # actually overlap on a 1-core host (without it, staggered
+                # job pickup can serialize the puts and a globally-capped
+                # pipe measures solo speed per worker)
+                import jax
+                import numpy as np
+
+                mb = float(job.get("mb", 32.0))
+                probe_state["mb"] = mb
+                probe_state["buf"] = np.frombuffer(
+                    os.urandom(int(mb * 1e6)), np.uint8
+                )
+                np.asarray(jax.device_put(np.zeros((1,), np.float32)))
+                out = {"ok": True}
+            elif job["op"] == "probe_go":
+                # wall-clock epochs (time.time) are comparable across the
+                # pool's processes on one host: the parent aggregates over
+                # the union span [min(t0), max(t1)] of the actual puts
+                import time
+
+                import jax
+
+                t0 = time.time()
+                jax.block_until_ready(jax.device_put(probe_state["buf"]))
+                t1 = time.time()
+                out = {"ok": True, "t0": t0, "t1": t1,
+                       "seconds": t1 - t0, "mb": probe_state["mb"]}
             elif job["op"] == "span":
                 rows = evaluate_audio(
                     infer_fn,

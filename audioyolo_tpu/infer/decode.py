@@ -156,6 +156,8 @@ def make_inference_fn(
     def infer(audio: jax.Array) -> Dict[str, jax.Array]:
         return jitted(dev_vars, jax.device_put(audio, data))
 
+    infer.jitted = jitted  # same introspection surface as the single-device
+    infer.dev_vars = dev_vars  # branch (bench.py cost_analysis/AOT probing)
     return infer
 
 

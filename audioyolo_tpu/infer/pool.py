@@ -183,11 +183,23 @@ class StreamWorkerPool:
             return self.regime
         self._submit(0, {"op": "probe", "mb": mb})
         solo = mb / max(self._recv(0)["seconds"], 1e-9)
+        # start barrier (round-4 advisor): every worker stages its buffer +
+        # enters the journaled-put regime first ("probe_prep"), so when the
+        # "probe_go" lines land the puts genuinely overlap — staggered job
+        # pickup on a 1-core host otherwise serializes the puts and a
+        # globally-capped pipe is misread as per-process
         for wi in range(self.workers):
-            self._submit(wi, {"op": "probe", "mb": mb})
+            self._submit(wi, {"op": "probe_prep", "mb": mb})
+        self._recv_all(range(self.workers))
+        for wi in range(self.workers):
+            self._submit(wi, {"op": "probe_go"})
         msgs = self._recv_all(range(self.workers))
-        # aggregate sustained rate = total bytes / slowest worker's wall
-        agg = self.workers * mb / max(max(m["seconds"] for m in msgs), 1e-9)
+        # aggregate sustained rate over the union span of the actual puts
+        # (time.time epochs are comparable across processes on one host);
+        # the span >= any single worker's wall, so residual stagger only
+        # makes the estimate more conservative
+        span = max(m["t1"] for m in msgs) - min(m["t0"] for m in msgs)
+        agg = self.workers * mb / max(span, 1e-9)
         effective = max(1, min(self.workers, int(round(agg / max(solo, 1e-9)))))
         regime = ("per-process" if effective >= self.workers
                   else "global" if effective <= 1 else "partial")

@@ -63,6 +63,39 @@ def quantize_clips_int8(clips: np.ndarray):
     return q, scale.astype(np.float32)
 
 
+_dev_quant = None
+
+
+def quantize_clips_int8_device(clips):
+    """Device-side mirror of :func:`quantize_clips_int8` for device-resident
+    batches (``DeviceCachedLoader``-backed gates/evals): identical per-clip
+    absmax semantics, computed in one jitted program with no device->host
+    round trip. The only possible divergence from the host path is fp32
+    reduction order in the absmax — at most 1 ulp on ``scale``, far below
+    the ~48 dB quantization noise the gate measures."""
+    global _dev_quant
+    if _dev_quant is None:
+        import jax
+        import jax.numpy as jnp
+
+        def _q(x):
+            if x.dtype == jnp.int16:
+                a = jnp.abs(x.astype(jnp.int32)).max(axis=(1, 2)).astype(jnp.float32)
+                s = jnp.maximum(a, 1.0) / 127.0
+                scale = s * (1.0 / 32768.0)
+            else:
+                a = jnp.abs(x).max(axis=(1, 2)).astype(jnp.float32)
+                s = jnp.maximum(a, 1e-12) / 127.0
+                scale = s
+            q = jnp.clip(
+                jnp.round(x.astype(jnp.float32) / s[:, None, None]), -127, 127
+            ).astype(jnp.int8)
+            return q, scale.astype(jnp.float32)
+
+        _dev_quant = jax.jit(_q)
+    return _dev_quant(clips)
+
+
 def _prefetch_iter(gen, depth: int = 2):
     """Run a generator on a background thread, ``depth`` items ahead.
 
@@ -77,25 +110,57 @@ def _prefetch_iter(gen, depth: int = 2):
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
+    stop = threading.Event()
     err: List[BaseException] = []
 
     def worker():
         try:
             for item in gen:
-                q.put(item)
+                # bounded put with a stop check: if the consumer abandons
+                # iteration (infer_fn raised, generator closed) the producer
+                # must not block forever holding device-resident chunks —
+                # long-lived pool workers would leak a thread per failed call
+                # (round-4 advisor)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # surfaced on the consumer thread
             err.append(e)
         finally:
-            q.put(sentinel)
+            try:
+                gen.close()  # release file handles promptly
+            except Exception:
+                pass
+            while not stop.is_set():
+                try:
+                    q.put(sentinel, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
-    threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        try:  # unblock a producer waiting on a full queue, drop chunk refs
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        t.join(timeout=5.0)
 
 
 def rle_merge(rows: List[dict]) -> List[dict]:
@@ -146,8 +211,13 @@ def evaluate_audio(
     ``transfer``: "int16" (default — exact for PCM16 sources) or "int8"
     (half the bytes again; per-clip absmax scales via
     :func:`quantize_clips_int8`, dequantized in-graph — ``infer_fn`` must be
-    built with ``make_inference_fn(int8_input=True)``). int8 requires the
-    native-rate waveform path (no ``frame_fn``, no on-device resampling).
+    built with ``make_inference_fn(int8_input=True)``). int8 requires
+    native-rate files (no on-device resampling). With a ``frame_fn`` it must
+    be the quantizing framer (``SpectralFrontend.frame_host_int8``): clips
+    ship as framed-int8 ``(q, scale)`` tuples straight into the model's
+    int8-DFT entry (``int8_input`` stays False on the infer fn) — more bytes
+    than the int8 waveform (frame_len/span ~1.3x) but zero device
+    resample/frame work; for compute-bound deployments.
     """
     if transfer not in ("int16", "int8"):
         raise ValueError(f"transfer must be 'int16' or 'int8', got {transfer!r}")
@@ -168,11 +238,11 @@ def evaluate_audio(
         if key not in cache:
             cache[key] = Resampler(og_rate, input_sample_rate)
         resampler = cache[key]
-    if transfer == "int8" and (resampler is not None or frame_fn is not None):
+    if transfer == "int8" and resampler is not None:
         raise ValueError(
-            "transfer='int8' supports only the native-rate waveform path "
-            f"(file rate {og_rate} vs model rate {input_sample_rate}, "
-            f"frame_fn={'set' if frame_fn is not None else 'None'})"
+            "transfer='int8' requires native-rate files (no on-device "
+            f"resampling; file rate {og_rate} vs model rate "
+            f"{input_sample_rate})"
         )
 
     import jax
@@ -208,13 +278,26 @@ def evaluate_audio(
                     [clips, np.zeros((batch_size - nclips, 1, sample_size), dtype)],
                     axis=0,
                 )
+            if frame_fn is not None and resampler is None:
+                # framed path: a quantizing framer (frame_host_int8) yields a
+                # (q, scale) tuple — device_put ships the pytree as-is and the
+                # model's framed-int8 entry consumes it. Framed-int8 ships
+                # frame_len/span (~1.3x) MORE bytes than the int8 waveform —
+                # it wins only when the deployment is compute- rather than
+                # transfer-bound (docs/PERFORMANCE.md round 5).
+                framed = frame_fn(clips[:, 0, :])
+                if transfer == "int8" and not isinstance(framed, tuple):
+                    raise ValueError(
+                        "transfer='int8' with frame_fn requires a quantizing "
+                        "framer (SpectralFrontend.frame_host_int8 — set "
+                        "tpu_config.frontend_precision: int8)"
+                    )
+                yield nclips, jax.device_put(framed)
+                start_frame += chunk_frames
+                continue
             if transfer == "int8":
                 q, scale = quantize_clips_int8(clips)
                 yield nclips, (jax.device_put(q), jax.device_put(scale))
-                start_frame += chunk_frames
-                continue
-            if frame_fn is not None and resampler is None:
-                yield nclips, jax.device_put(frame_fn(clips[:, 0, :]))
                 start_frame += chunk_frames
                 continue
             # explicit async transfer — handing numpy to the jitted function
@@ -329,8 +412,6 @@ def evaluate_files_batched(
 
     if transfer not in ("int16", "int8"):
         raise ValueError(f"transfer must be 'int16' or 'int8', got {transfer!r}")
-    if transfer == "int8" and frame_fn is not None:
-        raise ValueError("transfer='int8' requires the waveform path (no frame_fn)")
 
     sample_size = int(sample_duration * input_sample_rate)
     infos = [read_wav_info(p) for p in paths]
@@ -370,11 +451,19 @@ def evaluate_files_batched(
             arr = np.concatenate(
                 [arr, np.zeros((batch_size - n,) + arr.shape[1:], arr.dtype)], axis=0
             )
+        if frame_fn is not None:
+            framed = frame_fn(arr)
+            if transfer == "int8" and not isinstance(framed, tuple):
+                raise ValueError(
+                    "transfer='int8' with frame_fn requires a quantizing "
+                    "framer (SpectralFrontend.frame_host_int8 — set "
+                    "tpu_config.frontend_precision: int8)"
+                )
+            return jax.device_put(framed)
         if transfer == "int8":
             q, scale = quantize_clips_int8(arr[:, None, :])
             return (jax.device_put(q), jax.device_put(scale))
-        x = frame_fn(arr) if frame_fn is not None else arr[:, None, :]
-        return jax.device_put(x)
+        return jax.device_put(arr[:, None, :])
 
     def fetch(out) -> dict:
         if isinstance(out, dict):

@@ -21,10 +21,27 @@ from typing import Any, Callable, Optional, Tuple, Union
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 Dtype = Any
 
 conv_kernel_init = nn.initializers.glorot_uniform()  # torch xavier_uniform_
+
+
+def tape(x: jax.Array) -> jax.Array:
+    """Mark a tensor as a saved autodiff residual for the trainer's
+    selective-remat policy (``TrainerPipeline(remat=True)``).
+
+    Every conv output (and the frontend feature image) is named; under
+    ``jax.checkpoint_policies.save_only_these_names`` only these tensors are
+    kept for the backward pass — the convs themselves are never recomputed,
+    while every BatchNorm/activation intermediate (fp32 even in a bf16-body
+    step, see BatchNorm) is rematerialized from the nearest saved conv
+    output. That shrinks the training tape from mostly-fp32 to pure compute
+    dtype at the cost of re-running cheap elementwise chains in backward —
+    the right trade for a memory-bound step (docs/PERFORMANCE.md round 5).
+    Outside a remat context this is the identity."""
+    return checkpoint_name(x, "ayt_tape")
 
 
 def conv_bias_init(key, shape, dtype=jnp.float32):
@@ -251,8 +268,8 @@ class Conv2d(nn.Module):
             kernel, bias = _ConvParams(
                 self.features, (kh, kw), x.shape[-1], self.use_bias,
                 name="conv")()
-            return _int8_conv(
-                x, kernel, bias, s_x, _pair(self.strides), (ph, pw))
+            return tape(_int8_conv(
+                x, kernel, bias, s_x, _pair(self.strides), (ph, pw)))
 
         fold = self.s2d
         if fold is not None:
@@ -271,8 +288,8 @@ class Conv2d(nn.Module):
                                (fh, fw))
                 if bias is not None:
                     y = y + bias.astype(dt)
-                return y
-        return nn.Conv(
+                return tape(y)
+        return tape(nn.Conv(
             features=self.features,
             kernel_size=(kh, kw),
             strides=_pair(self.strides),
@@ -283,7 +300,7 @@ class Conv2d(nn.Module):
             kernel_init=conv_kernel_init,
             bias_init=conv_bias_init,
             name="conv",
-        )(x)
+        )(x))
 
 
 class ConvNorm(nn.Module):

@@ -522,7 +522,13 @@ class SpectralFrontend:
         feat = jnp.stack(
             [jnp.swapaxes(mel_img, -1, -2), jnp.swapaxes(mfcc_img, -1, -2)], axis=-1
         )
-        return feat
+        # saved residual under the trainer's selective-remat policy: the
+        # frontend has no trainable upstream but conv1's weight-grad needs
+        # this image — without the name the whole DFT+mel frontend would be
+        # recomputed in backward (models/layers.py::tape)
+        from jax.ad_checkpoint import checkpoint_name
+
+        return checkpoint_name(feat, "ayt_tape")
 
     @property
     def out_shape(self):

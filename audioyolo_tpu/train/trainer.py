@@ -55,6 +55,7 @@ class TrainerPipeline:
         data_axis: str = "data",
         seed: int = 42,
         steps_per_dispatch: int = 1,
+        remat: bool = False,
     ):
         self.model = model
         self.loss_fn = loss_fn
@@ -78,6 +79,15 @@ class TrainerPipeline:
         # (tested); epochs whose batch count is not a multiple of S run the
         # remainder through the single-step path.
         self.steps_per_dispatch = max(int(steps_per_dispatch), 1)
+        # Selective rematerialization: keep ONLY the named conv outputs (and
+        # the frontend image) as backward residuals — every BatchNorm /
+        # activation intermediate is recomputed from the nearest saved conv
+        # output instead of being stored. BatchNorm normalizes in fp32 even
+        # under a bf16 body (torch-exact stats, models/layers.py), so the
+        # default tape is mostly fp32; this knob drops it to pure compute
+        # dtype. Numerically exact (same ops, re-run), trades cheap
+        # elementwise FLOPs for HBM traffic on a memory-bound step.
+        self.remat = bool(remat)
 
         self._train_step = None
         self._train_multi = None
@@ -144,8 +154,17 @@ class TrainerPipeline:
                 loss, metrics = loss_fn(preds, targets)
                 return loss, (metrics, mutated["batch_stats"])
 
+            if self.remat:
+                compute_loss_ = jax.checkpoint(
+                    compute_loss,
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "ayt_tape"
+                    ),
+                )
+            else:
+                compute_loss_ = compute_loss
             (loss, (metrics, new_stats)), grads = jax.value_and_grad(
-                compute_loss, has_aux=True
+                compute_loss_, has_aux=True
             )(state.params)
             updates, new_opt_state = self.tx.update(grads, state.opt_state, state.params)
             new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)

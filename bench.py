@@ -85,12 +85,27 @@ def _bench_variables(cfg, raw, block=None, layers=None):
 
     from flax import serialization
 
+    import audioyolo_tpu
     from audioyolo_tpu.models import AudioDetectionModel, fold_repvgg
 
+    # cache key = config posture + a hash of the model-defining sources, so
+    # stale folded weights can't outlive a model-code change; the file lives
+    # under the user cache dir (not the predictable world-writable /tmp path)
+    pkg = os.path.dirname(audioyolo_tpu.__file__)
+    code = hashlib.md5()
+    for sub in ("models", "ops"):
+        d = os.path.join(pkg, sub)
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".py"):
+                with open(os.path.join(d, fn), "rb") as f:
+                    code.update(f.read())
     key = hashlib.md5(
-        repr((sorted(raw.items(), key=str), block, layers, NUM_CLASSES)).encode()
+        repr((sorted(raw.items(), key=str), block, layers, NUM_CLASSES,
+              code.hexdigest())).encode()
     ).hexdigest()[:16]
-    path = os.path.join("/tmp", f"ayt_bench_vars_{key}.msgpack")
+    cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "audioyolo_bench")
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"ayt_bench_vars_{key}.msgpack")
     if os.path.exists(path):
         with open(path, "rb") as f:
             return serialization.msgpack_restore(f.read())
@@ -467,10 +482,13 @@ def bench_train_step(cfg, batch=None):
     # the knee — past it the marginal dispatch amortization loses to the
     # longer program's scheduling overhead.
     S = int(os.environ.get("BENCH_TRAIN_S", "8"))
+    # selective remat (trainer.py remat=True): tape = named conv outputs
+    # only; fp32 BN/activation intermediates recomputed in backward.
+    R = os.environ.get("BENCH_TRAIN_REMAT", "0") not in ("0", "false", "off")
     trainer = TrainerPipeline(model, loss_fn, tx, use_ema=True,
                               ema_config=tc["ema_config"],
                               metrics_path="/tmp/bench_m", model_path="/tmp/bench_m",
-                              steps_per_dispatch=S)
+                              steps_per_dispatch=S, remat=R)
     rng = np.random.default_rng(3)
     n = 16
     from audioyolo_tpu.ops.frontend import SpectralFrontend

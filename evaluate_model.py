@@ -86,9 +86,21 @@ def main():
     from audioyolo_tpu.infer.decode import unpack_detections
 
     detections, ground_truth = [], []
-    transfer_dtype = cfg.raw.get("tpu_config", {}).get("transfer_dtype", "float32")
+    tpu_cfg = cfg.raw.get("tpu_config", {})
+    transfer_dtype = tpu_cfg.get("transfer_dtype", "float32")
     loader = BatchLoader(ds, batch_size, shuffle=False, last_batch="partial",
                          transfer_dtype=transfer_dtype)
+    # small corpora go device-resident (one bulk ship + on-device gathers
+    # instead of per-batch puts through the possibly-degraded tunnel) — the
+    # same DeviceCachedLoader demo training uses (data/loader.py)
+    cache_mode = str(tpu_cfg.get("device_cache_dataset", "auto")).lower()
+    if cache_mode not in ("false", "0", "off"):
+        from audioyolo_tpu.data.loader import DeviceCachedLoader
+
+        max_mb = float(tpu_cfg.get("device_cache_max_mb", 512.0))
+        if cache_mode in ("true", "1", "on"):
+            max_mb = float("inf")
+        loader = DeviceCachedLoader.wrap(loader, max_mb=max_mb)
     clip = 0
     for batch in loader:
         import jax

@@ -181,6 +181,16 @@ def build_worker(config, model_path, class_map_path, iou_threshold,
     cfg = load_config(config)
     idx2class = get_label_map(class_map_path)
     frame_fn = build_frame_fn(cfg) if framed_input else None
+    if transfer == "int8" and frame_fn is not None:
+        # framed-int8: the framer must quantize (frame_host_int8) so clips
+        # ship as (q, scale) tuples into the model's int8-DFT entry
+        from audioyolo_tpu.ops.frontend import SpectralFrontend
+
+        if not SpectralFrontend(cfg).fused_int8:
+            raise ValueError(
+                "--transfer int8 with --framed_input requires "
+                "tpu_config.frontend_precision: int8 (quantizing framer)"
+            )
     calib = (
         load_calib_batch([int8_calib_path], cfg, frame_fn=frame_fn)
         if int8_calib_path else None
@@ -188,7 +198,10 @@ def build_worker(config, model_path, class_map_path, iou_threshold,
     infer_fn = build_inference(
         cfg, len(idx2class), model_path, iou_threshold, conf_threshold,
         fold=fold, dtype=jnp.bfloat16 if bf16 else None, ref_exact=ref_exact,
-        int8_calib=calib, int8_input=(transfer == "int8"),
+        int8_calib=calib,
+        # framed-int8 tuples route through the model's own framed entry; the
+        # (q, scale) WAVEFORM entry is only for the unframed int8 path
+        int8_input=(transfer == "int8" and frame_fn is None),
     )
     return infer_fn, frame_fn
 
@@ -238,10 +251,12 @@ def main():
                              "for transfer-bound streaming; detection-"
                              "equivalent on the demo model, "
                              "docs/PERFORMANCE.md). Requires native-rate "
-                             "files and no --framed_input")
+                             "files. With --framed_input, clips ship as "
+                             "framed-int8 (q, scale) tuples into the int8-"
+                             "DFT entry (needs frontend_precision: int8; "
+                             "more bytes than the int8 waveform but zero "
+                             "device resample/frame work)")
     args = parser.parse_args()
-    if args.transfer == "int8" and args.framed_input:
-        parser.error("--transfer int8 requires the waveform path (drop --framed_input)")
 
     cfg = load_config(args.config)
     tc = cfg.raw["train_config"]
@@ -301,16 +316,13 @@ def main():
                 pool.evaluate_dir(paths, args.output_dir)
         return
 
-    frame_fn = build_frame_fn(cfg) if args.framed_input else None
-    infer_fn = build_inference(
-        cfg, len(idx2class), model_path, args.iou_threshold, args.conf_threshold,
-        fold=not args.no_fold, dtype=jnp.bfloat16 if args.bf16 else None,
-        ref_exact=args.ref_exact,
-        int8_calib=(
-            load_calib_batch([_first_input_path()], cfg, frame_fn=frame_fn)
-            if args.int8 else None
-        ),
-        int8_input=(args.transfer == "int8"),
+    # same construction/validation path as the pool workers use
+    infer_fn, frame_fn = build_worker(
+        args.config, model_path, class_map_path, args.iou_threshold,
+        args.conf_threshold, fold=not args.no_fold, bf16=args.bf16,
+        ref_exact=args.ref_exact, framed_input=args.framed_input,
+        int8_calib_path=_first_input_path() if args.int8 else None,
+        transfer=args.transfer,
     )
     kwargs = dict(
         input_sample_rate=cfg.sample_rate,

@@ -9,7 +9,10 @@ compute identical detections.
 from __future__ import annotations
 
 
-def build(seed: int = 0, int8_input: bool = False):
+def build(seed: int = 0, int8_input: bool = False, framed_int8: bool = False):
+    """``framed_int8``: build the int8-DFT-frontend model and return the
+    quantizing host framer — clips ship as framed-int8 (q, scale) tuples
+    (``transfer='int8'`` + ``frame_fn`` in evaluate_audio)."""
     import copy
 
     import jax
@@ -21,7 +24,10 @@ def build(seed: int = 0, int8_input: bool = False):
     from audioyolo_tpu.infer import make_inference_fn
     from audioyolo_tpu.models import AudioDetectionModel, fold_repvgg
 
-    cfg = Config(copy.deepcopy(TINY_CFG))
+    raw = copy.deepcopy(TINY_CFG)
+    if framed_int8:
+        raw.setdefault("tpu_config", {})["frontend_precision"] = "int8"
+    cfg = Config(raw)
     model = AudioDetectionModel.from_config(cfg, num_classes=2)
     x = jnp.zeros((1, 1, cfg.clip_samples))
     key = jax.random.PRNGKey(seed)
@@ -30,5 +36,10 @@ def build(seed: int = 0, int8_input: bool = False):
     )
     folded = fold_repvgg(jax.tree.map(np.asarray, variables))
     deploy = AudioDetectionModel.from_config(cfg, num_classes=2, deploy=True)
+    frame_fn = None
+    if framed_int8:
+        from audioyolo_tpu.ops.frontend import SpectralFrontend
+
+        frame_fn = SpectralFrontend(cfg).frame_host_int8
     return make_inference_fn(deploy, folded, 0.1, 0.05, keep_k=32,
-                             int8_input=int8_input), None
+                             int8_input=int8_input), frame_fn

@@ -167,6 +167,111 @@ def test_pool_directory_corrupt_file_isolated(pool, tmp_path):
         assert os.path.isfile(os.path.join(out, "mixed", f"g{i}_results.csv"))
 
 
+def test_pool_framed_int8_matches_single_process(tmp_path):
+    """Framed-int8 streaming (``transfer='int8'`` + quantizing frame_fn —
+    clips ship as (q, scale) tuples into the model's int8-DFT entry): the
+    pooled chunk-sharded result must be byte-identical to the in-process
+    evaluate_audio on the same posture. (Accuracy of the int8-DFT frontend
+    itself is gated on the trained model — docs/PERFORMANCE.md round 4;
+    this test pins the plumbing.)"""
+    wav = str(tmp_path / "long.wav")
+    _long_wav(wav, 40.0, seed=31)
+
+    infer_fn, frame_fn = pool_factory.build(seed=0, framed_int8=True)
+    assert frame_fn is not None
+    out_single = str(tmp_path / "single")
+    os.makedirs(out_single)
+    evaluate_audio(infer_fn, wav, out_single, frame_fn=frame_fn,
+                   transfer="int8", **EVAL_KWARGS)
+
+    with StreamWorkerPool(
+        "pool_factory:build", {"seed": 0, "framed_int8": True}, workers=2,
+        eval_kwargs={**EVAL_KWARGS, "transfer": "int8"}, env=WORKER_ENV,
+    ) as p:
+        out_pool = str(tmp_path / "pooled")
+        csv_path = p.evaluate_file(wav, out_pool)
+
+    single_csv = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(out_single) for f in fs if f.endswith(".csv")
+    ][0]
+    with open(single_csv) as a, open(csv_path) as b:
+        assert a.read() == b.read()
+
+
+def test_framed_int8_requires_quantizing_framer(tmp_path):
+    """transfer='int8' with a NON-quantizing frame_fn must fail loudly, not
+    silently ship int16 frames under an int8 flag."""
+    wav = str(tmp_path / "w.wav")
+    _long_wav(wav, 8.0, seed=33)
+    infer_fn, _ = pool_factory.build(seed=0)
+    from audioyolo_tpu.ops.frontend import SpectralFrontend
+    import copy
+
+    from conftest import TINY_CFG
+    from audioyolo_tpu.config import Config
+
+    plain_framer = SpectralFrontend(Config(copy.deepcopy(TINY_CFG))).frame_host
+    with pytest.raises(ValueError, match="quantizing framer"):
+        evaluate_audio(infer_fn, wav, str(tmp_path), frame_fn=plain_framer,
+                       transfer="int8", **EVAL_KWARGS)
+
+
+def test_pool_detect_regime_two_phase(pool):
+    """The prep/go start barrier (round-4 advisor): detect_regime must
+    return coherent fields, and the concurrent phase's per-worker reports
+    must carry comparable wall-clock epochs (t0 < t1)."""
+    regime = pool.detect_regime(mb=2.0)
+    assert regime is pool.regime
+    assert regime["regime"] in ("per-process", "global", "partial", "single")
+    assert 1 <= regime["active_workers"] <= pool.workers
+    assert regime["solo_mbps"] is None or regime["solo_mbps"] > 0
+    assert regime["aggregate_mbps"] is None or regime["aggregate_mbps"] > 0
+
+
+def test_prefetch_iter_producer_exits_when_consumer_abandons():
+    """Abandoning the consumer mid-iteration (generator .close(), as happens
+    when infer_fn raises inside evaluate_audio) must unblock and terminate
+    the producer thread — long-lived pool workers previously leaked one
+    blocked thread plus queued chunks per failed call (round-4 advisor)."""
+    import threading
+    import time
+
+    from audioyolo_tpu.infer.streaming import _prefetch_iter
+
+    n0 = threading.active_count()
+    closed = []
+
+    def gen():
+        try:
+            for i in range(10_000):
+                yield i
+        finally:
+            closed.append(True)
+
+    it = _prefetch_iter(gen(), depth=1)
+    assert next(it) == 0
+    it.close()  # consumer walks away with the producer blocked on a full queue
+    deadline = time.time() + 10.0
+    while threading.active_count() > n0 and time.time() < deadline:
+        time.sleep(0.02)
+    assert threading.active_count() == n0, "producer thread leaked"
+    assert closed, "source generator was not closed"
+
+
+def test_prefetch_iter_consumer_sees_producer_error():
+    from audioyolo_tpu.infer.streaming import _prefetch_iter
+
+    def gen():
+        yield 1
+        raise ValueError("boom")
+
+    it = _prefetch_iter(gen(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(ValueError, match="boom"):
+        list(it)
+
+
 def test_pool_int8_transfer_matches_int16_on_8bit_content(tmp_path):
     """Pooled streaming with ``transfer='int8'`` (the bench's production
     posture for transfer-bound deployments) must reproduce the int16 path's

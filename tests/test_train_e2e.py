@@ -2,6 +2,8 @@
 loss must decrease over a few epochs; data-parallel grads on an 8-device
 virtual mesh must match single-device training on the same batch."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -330,6 +332,58 @@ def test_ema_training(tmp_path, tiny_cfg):
     d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()), state.ema.params, state.params)
     assert max(jax.tree_util.tree_leaves(d)) < 1e-2
     _ = trainer.evaluate(state, loader)
+
+
+def test_train_cli_int8_frontend_ships_tuples(tmp_path, tiny_cfg, monkeypatch):
+    """Regression (round-4 advisor, high): ``train.run`` with
+    ``frontend_precision: int8`` must actually pass ``frame_fn`` into its
+    BatchLoaders so they ship (q, scale) framed-int8 tuples — previously the
+    loaders got only ``framer=None`` and silently fell back to raw waveforms,
+    so the adopted int8-DFT train posture never ran through the CLI."""
+    import copy
+
+    import train as train_cli
+    from audioyolo_tpu.config import Config
+
+    root = str(tmp_path / "ds")
+    ann = make_flat_dataset(os.path.join(root, "train"), n_files=4, seed=21)
+    make_flat_dataset(os.path.join(root, "eval"), n_files=2, seed=22)
+    from synth import save_reference_layout
+
+    save_reference_layout(root, ann)
+
+    raw = copy.deepcopy(tiny_cfg.to_dict())
+    raw["tpu_config"]["frontend_precision"] = "int8"
+    tc = raw["train_config"]
+    tc["dataset_path"] = root
+    tc["epochs"] = 1
+    tc["class_map_path"] = str(tmp_path / "idx2class")
+    tc["model_path"] = str(tmp_path / "model")
+    tc["metrics_path"] = str(tmp_path / "metrics")
+    tc["use_lr_scheduler"] = False
+
+    made = []
+    real_loader = train_cli.BatchLoader
+
+    def spy_loader(*args, **kwargs):
+        ld = real_loader(*args, **kwargs)
+        made.append(ld)
+        return ld
+
+    monkeypatch.setattr(train_cli, "BatchLoader", spy_loader)
+    train_cli.run(Config(raw))
+
+    assert len(made) == 2  # train + eval
+    for ld in made:
+        assert ld.frame_fn is not None, "int8 frame_fn not wired into loader"
+        batch = next(iter(ld))
+        a = batch["audio"]
+        assert isinstance(a, tuple) and len(a) == 2, type(a)
+        q, scale = a
+        assert q.dtype == np.int8 and q.ndim == 4
+        assert scale.dtype == np.float32 and scale.shape == (q.shape[0],)
+    assert os.path.exists(os.path.join(str(tmp_path / "metrics"),
+                                       "train_metrics.csv"))
 
 
 def test_custom_backbone_trains_and_infers(tmp_path, tiny_cfg):

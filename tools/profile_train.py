@@ -19,11 +19,12 @@ from audioyolo_tpu.ops.frontend import SpectralFrontend
 from audioyolo_tpu.utils.profiling import profile_trace, summarize_trace
 
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+FRONTEND = sys.argv[2] if len(sys.argv) > 2 else "default"
 NUM_CLASSES = 2
 
 cfg = load_config("config/config.yaml")
 raw = cfg.to_dict()
-raw.setdefault("tpu_config", {})["frontend_precision"] = "default"
+raw.setdefault("tpu_config", {})["frontend_precision"] = FRONTEND
 cfg = Config(raw)
 model = AudioDetectionModel.from_config(cfg, num_classes=NUM_CLASSES, dtype=jnp.bfloat16)
 tc = cfg.raw["train_config"]
@@ -39,7 +40,9 @@ rng = np.random.default_rng(3)
 n = 16
 fe = SpectralFrontend(cfg)
 audio = (rng.standard_normal((BATCH, 1, cfg.clip_samples)) * 0.1).astype(np.float32)
-if fe.fused is not None:
+if fe.fused is not None and fe.fused_int8:
+    audio = fe.frame_host_int8(audio[:, 0, :])
+elif fe.fused is not None:
     audio = fe.frame_host(audio[:, 0, :])
 batch = {
     "audio": audio,
@@ -48,7 +51,9 @@ batch = {
     "widths": rng.uniform(0.5, 30, (BATCH, n)).astype(np.float32),
     "valid": np.ones((BATCH, n), bool),
 }
-state = trainer.create_state(batch["audio"][:1])
+sample = batch["audio"]
+sample = tuple(s[:1] for s in sample) if isinstance(sample, tuple) else sample[:1]
+state = trainer.create_state(sample)
 trainer._build_steps()
 audio_d, targets_d = trainer._put_batch(batch)
 t0 = time.perf_counter()

@@ -114,11 +114,12 @@ def run(cfg, data_parallel: bool = False, resume: bool = False):
     train_loader = BatchLoader(
         train_ds, batch_size, shuffle=bool(tc.get("shuffle_samples", True)),
         seed=SEED, last_batch=last_batch, transfer_dtype=transfer_dtype,
-        framer=framer, shard=shard,
+        frame_fn=frame_fn, framer=framer, shard=shard,
     )
     eval_loader = BatchLoader(
         eval_ds, batch_size, shuffle=False, last_batch=last_batch,
-        transfer_dtype=transfer_dtype, framer=framer, shard=shard,
+        transfer_dtype=transfer_dtype, frame_fn=frame_fn, framer=framer,
+        shard=shard,
     )
     # small-corpus device cache: ship every clip once, gather shuffled
     # batches on device — per-epoch h2d traffic drops from the dataset to
@@ -194,6 +195,9 @@ def run(cfg, data_parallel: bool = False, resume: bool = False):
         # fuse S optimizer steps into one compiled dispatch (host dispatch
         # through a remote runtime costs ~3 ms/call; semantics tested equal)
         steps_per_dispatch=int(tpu_cfg.get("steps_per_dispatch", 1)),
+        # selective remat: keep only conv outputs as backward residuals
+        # (numerically exact; big HBM win on the memory-bound TPU step)
+        remat=bool(tpu_cfg.get("train_remat", False)),
     )
     sample = train_ds[0]["audio"][None]
     if frame_fn is not None:
