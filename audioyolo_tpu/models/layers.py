@@ -88,8 +88,15 @@ class BatchNorm(nn.Module):
             n = 1
             for a in axes:
                 n *= x.shape[a]
+            # one-pass statistics: E[x^2] - E[x]^2 lets XLA horizontally
+            # fuse both reductions into a single read of x, where the
+            # two-pass mean-then-centered-square form forces two sequential
+            # sweeps (measured ~2 ms/step of convert_reduce fusions at
+            # B=128 on v5e — docs/PERFORMANCE.md round 5). fp32 accumulate;
+            # the clamp guards the subtraction's cancellation. Same biased-
+            # variance value as torch to fp32 rounding.
             mean = jnp.mean(xf, axis=axes)
-            var = jnp.mean((xf - mean) ** 2, axis=axes)
+            var = jnp.maximum(jnp.mean(xf * xf, axis=axes) - mean * mean, 0.0)
             if not self.is_initializing():
                 unbiased = var * (n / max(n - 1, 1))
                 m = self.momentum

@@ -325,6 +325,15 @@ class SpectralFrontend:
         }[prec_name]
         self.fused_storage_dtype = jnp.bfloat16 if prec_name == "bf16" else None
         self.fused_int8 = prec_name == "int8"
+        # int8 path only: materialize the DFT GEMM accumulator (the model's
+        # biggest intermediate) in bf16 instead of int32 — see
+        # fused_frontend.power_int8. Opt-in; accuracy-gate before adopting.
+        self.int8_spectrum_dtype = (
+            jnp.bfloat16
+            if str(cfg.raw.get("tpu_config", {}).get(
+                "int8_spectrum", "int32")).lower() in ("bf16", "bfloat16")
+            else None
+        )
 
         self.mel = MelBranch(mel_cfg, self.sr_model, precision=self.precision)
         self.n_mels = self.mel.n_mels
@@ -429,7 +438,7 @@ class SpectralFrontend:
                 "frontend_precision 'int8' requires shared mel/MFCC settings "
                 "and power=2"
             )
-        p = self.fused.power_int8(q)
+        p = self.fused.power_int8(q, storage_dtype=self.int8_spectrum_dtype)
         if not hasattr(self, "_mel_fb_i8"):
             _, s_k = self.fused.int8_matrix()
             self._mel_fb_i8 = jnp.asarray(

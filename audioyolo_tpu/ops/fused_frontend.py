@@ -233,7 +233,7 @@ class FusedFrameDFT:
             self._sk = s_k.astype(np.float32)
         return self._c_i8, self._sk
 
-    def power_int8(self, q: jax.Array) -> jax.Array:
+    def power_int8(self, q: jax.Array, storage_dtype=None) -> jax.Array:
         """int8 framed input -> UNSCALED phase-order power spectrum.
 
         ``q``: (B, n_ph, n_groups, frame_len) int8 (host-quantized frames,
@@ -243,12 +243,23 @@ class FusedFrameDFT:
         the mel matrix and ``s_clip**2`` into the (15x smaller) mel output.
         int8 x int8 -> int32 on the MXU; exact integer accumulation
         (max |acc| ~ 127*127*frame_len << 2^31).
+
+        ``storage_dtype=jnp.bfloat16``: materialize the GEMM accumulator in
+        bf16 instead of int32 (the convert rides the GEMM epilogue) — the
+        (B, n_ph, G, 2*n_freq) spectrum is the biggest intermediate of the
+        whole model (~0.5 GB at B=128) and the step around it is
+        HBM-bound. Adds ~2^-9 relative rounding on amplitudes (~0.4% on
+        power) on top of the int8 matrix quantization's ~0.1%;
+        accuracy-gate before adopting (tools/gate_int8_transfer.py
+        protocol).
         """
         c_i8, _ = self.int8_matrix()
         acc = jnp.einsum(
             "brgf,rfk->brgk", q, jnp.asarray(c_i8),
             preferred_element_type=jnp.int32,
         )
+        if storage_dtype is not None:
+            acc = acc.astype(storage_dtype)
         af = acc.astype(jnp.float32)
         nf = self.n_freq
         return af[..., :nf] ** 2 + af[..., nf:] ** 2
