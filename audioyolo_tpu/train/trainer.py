@@ -56,6 +56,7 @@ class TrainerPipeline:
         seed: int = 42,
         steps_per_dispatch: int = 1,
         remat: bool = False,
+        prng_impl: Optional[str] = None,
     ):
         self.model = model
         self.loss_fn = loss_fn
@@ -66,7 +67,19 @@ class TrainerPipeline:
         self.ema_config = dict(ema_config or {})
         self.mesh = mesh
         self.data_axis = data_axis
-        self.base_key = jax.random.PRNGKey(seed)
+        # ``prng_impl="rbg"``: draw dropout masks from the TPU's hardware RNG
+        # instead of threefry. threefry is ALU-heavy and the per-step mask at
+        # (B, H, W, 64) measured ~10% of the whole train step at B=128
+        # (docs/PERFORMANCE.md round 5: dropout 0.4 -> 0.0 diagnostic gave
+        # 504k -> 558k audio-s/s). rbg is deterministic per key with the same
+        # uniform distribution — a different (but fixed) random stream, so
+        # per-step numerics differ from threefry while convergence behavior
+        # is statistically identical. Default None keeps threefry
+        # (reproducibility with earlier checkpoints' training curves).
+        if prng_impl:
+            self.base_key = jax.random.key(seed, impl=prng_impl)
+        else:
+            self.base_key = jax.random.PRNGKey(seed)
         self.saved_model_path = os.path.join(model_path, "AudioDetectionModel.msgpack")
 
         self._train_metrics: List[Dict[str, float]] = []

@@ -488,7 +488,12 @@ def bench_train_step(cfg, batch=None):
     trainer = TrainerPipeline(model, loss_fn, tx, use_ema=True,
                               ema_config=tc["ema_config"],
                               metrics_path="/tmp/bench_m", model_path="/tmp/bench_m",
-                              steps_per_dispatch=S, remat=R)
+                              steps_per_dispatch=S, remat=R,
+                              # hardware-RNG dropout masks (trainer.py
+                              # prng_impl): threefry masks measured ~10% of
+                              # the step at dropout 0.4
+                              prng_impl=os.environ.get("BENCH_TRAIN_PRNG",
+                                                       "rbg") or None)
     rng = np.random.default_rng(3)
     n = 16
     from audioyolo_tpu.ops.frontend import SpectralFrontend

@@ -14,6 +14,13 @@ pipeline additionally needs its resampled output re-blocked from
 change to a non-lane-multiple (1000), i.e. a physical relayout (the exact
 round-1 wall the fused formulation removed). This script measures that one
 remaining constant on the real chip.
+
+OUTCOME (round 5): unusable through the tunnelled runtime — at ~1 GB
+tensor sizes the per-dispatch overhead (~40-80 ms) swamps device time and
+an elementwise-only control measured SLOWER than the relayout. Kept as the
+documented attempt; the factorized-DFT decision rests on the MACs
+arithmetic + round-1 in-program relayout measurements instead
+(docs/PERFORMANCE.md round 5 "factorized DFT frontend").
 """
 import os
 import sys
