@@ -214,6 +214,23 @@ def _int8_conv(
     int32 on the MXU; the requant multiply and bias add fuse into the
     epilogue. Output dtype follows the incoming activation dtype."""
     out_dt = x.dtype
+    # Kernel rows/cols that only ever see zero padding contribute nothing:
+    # for a size-1 spatial dim with symmetric pad p and kernel 2p+1, only
+    # the middle slice touches data — slice it out (exact). This is also
+    # the WORKAROUND for a real backend bug isolated in round 5: the TPU
+    # lowering of int8 x int8 -> int32 convs miscomputes (100% mismatch vs
+    # CPU) when an H=1 input meets a 3x3 kernel with H-padding at small
+    # non-lane-aligned channel counts (e.g. C_in=15, the neck's prediction
+    # width) — the exact shape of the neck's conv{2,3}_downsample, which is
+    # where the round-4 int8-body TPU gate failure entered
+    # (tools/bisect_int8_body.py; docs/PERFORMANCE.md round 5).
+    kh_, kw_ = kernel.shape[0], kernel.shape[1]
+    ph_, pw_ = pad
+    if x.shape[1] == 1 and kh_ == 2 * ph_ + 1 and kh_ > 1:
+        kernel, ph_ = kernel[ph_ : ph_ + 1], 0
+    if x.shape[2] == 1 and kw_ == 2 * pw_ + 1 and kw_ > 1:
+        kernel, pw_ = kernel[:, pw_ : pw_ + 1], 0
+    pad = (ph_, pw_)
     xf = x.astype(jnp.float32)
     xq = jnp.clip(jnp.round(xf / s_x), -127.0, 127.0).astype(jnp.int8)
     s_w = jnp.maximum(

@@ -563,18 +563,18 @@ def main():
 
     cfg = load_config("config/config.yaml")
     N_DISPATCH = 4
-    # int8 PTQ body DEMOTED from the default posture (round 4): on the
-    # strong 400-epoch demo model the detection-equivalence gate FAILED on
-    # TPU (event mAP@0.5 0.18 vs 0.953 float; the same checkpoint+selection
-    # passes on the CPU backend at 0.955 — TPU int8 execution noise is ~3x
-    # CPU's and this model is PTQ-fragile; scales match across backends and
-    # the int8 conv itself is bit-exact in isolation — docs/PERFORMANCE.md
-    # round-4 int8 section). The ~1.10x end-to-end win does not survive the
-    # accuracy gate; BENCH_INT8_BODY=1 re-enables for A/B.
-    use_int8_body = os.environ.get("BENCH_INT8_BODY", "0") == "1"
-    # frontend posture: int8 DFT GEMM (gate-passed, 1.40x) unless the
-    # opt-in int8 BODY is enabled (its calibration path needs float frames)
-    fe_mode = "default" if use_int8_body else "int8"
+    # int8 PTQ body RE-ADOPTED (round 5): the round-4 TPU gate failure
+    # (mAP 0.18) was root-caused to a backend bug in the int8 conv lowering
+    # for the neck's H=1 3x3 downsample shapes — fixed exactly in
+    # layers._int8_conv (middle-row slice; tools/bisect_int8_body.py,
+    # docs/PERFORMANCE.md round 5). Composed with the int8-DFT frontend:
+    # 1,372k -> 1,533k audio-s/s (75.4% MFU); gates on the strong model:
+    # body-only mAP@0.5 0.9385, composed 0.9377, vs float 0.9461.
+    # BENCH_INT8_BODY=0 reproduces the bf16-body posture.
+    use_int8_body = os.environ.get("BENCH_INT8_BODY", "1") == "1"
+    # int8 DFT GEMM frontend (gate-passed, 1.40x) in both cases — the body
+    # calibration path accepts the framed (q, scale) tuples directly
+    fe_mode = "int8"
     infer_multi, frame_fn, _ = _build_infer(cfg, n_dispatch=N_DISPATCH,
                                             int8=use_int8_body,
                                             frontend=fe_mode)
@@ -630,8 +630,8 @@ def main():
     _emit("train_b32_audio_seconds_per_sec", train32_thr, "audio-s/s",
           batch=32, steps_per_dispatch=train_s, frontend=train_fe,
           **train32_cost)
-    # #5 scaled backbone (Bottleneck [3,4,6,3]) — bf16 body (int8 demoted,
-    # see headline note; it measured 1.114x but fails the accuracy gate)
+    # #5 scaled backbone (Bottleneck [3,4,6,3]) — same composed int8
+    # posture as the headline (body re-adopted round 5, see headline note)
     infer50, frame50, _ = _build_infer(
         cfg, block="Bottleneck", layers=[3, 4, 6, 3], n_dispatch=N_DISPATCH,
         int8=use_int8_body, frontend=fe_mode
@@ -639,7 +639,8 @@ def main():
     thr50, cost50 = bench_batched(cfg, infer50, frame50, n_dispatch=N_DISPATCH,
                                   with_cost=True)
     _emit("scaled_backbone_audio_seconds_per_sec", thr50, "audio-s/s",
-          frontend=fe_mode, **cost50)
+          body="int8" if use_int8_body else "bf16", frontend=fe_mode,
+          **cost50)
 
 
 if __name__ == "__main__":

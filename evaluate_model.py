@@ -46,6 +46,11 @@ def main():
     parser.add_argument("--int8", action="store_true",
                         help="int8 detector body, scales calibrated on the "
                              "first split files (models/quant.py)")
+    parser.add_argument("--framed_input", action="store_true",
+                        help="host-frame clips for the fused frontend "
+                             "(with tpu_config.frontend_precision: int8 this "
+                             "exercises the int8-DFT framed entry — the "
+                             "serving headline posture)")
     args = parser.parse_args()
 
     cfg = load_config(args.config)
@@ -71,12 +76,18 @@ def main():
     )
     ds.class2idx = class2idx  # evaluate against the training vocabulary
 
+    frame_fn = None
+    if args.framed_input:
+        from inference import build_frame_fn
+
+        frame_fn = build_frame_fn(cfg)
     int8_calib = None
     if args.int8:
         from inference import load_calib_batch
 
         int8_calib = load_calib_batch(
-            [ds.audio_span(i)[0] for i in range(min(4, len(ds)))], cfg
+            [ds.audio_span(i)[0] for i in range(min(4, len(ds)))], cfg,
+            frame_fn=frame_fn,
         )
     infer_fn = build_inference(
         cfg, num_classes, model_path, args.iou_threshold, args.conf_threshold,
@@ -94,6 +105,8 @@ def main():
     # instead of per-batch puts through the possibly-degraded tunnel) — the
     # same DeviceCachedLoader demo training uses (data/loader.py)
     cache_mode = str(tpu_cfg.get("device_cache_dataset", "auto")).lower()
+    if frame_fn is not None:
+        cache_mode = "off"  # host framing needs host-resident audio
     if cache_mode not in ("false", "0", "off"):
         from audioyolo_tpu.data.loader import DeviceCachedLoader
 
@@ -105,7 +118,11 @@ def main():
     for batch in loader:
         import jax
 
-        out = infer_fn(jax.device_put(batch["audio"]))
+        audio = batch["audio"]
+        if frame_fn is not None:
+            a = np.asarray(audio)
+            audio = frame_fn(a[:, 0, :] if a.ndim == 3 else a)
+        out = infer_fn(jax.device_put(audio))
         dets = (
             unpack_detections(np.asarray(out))
             if not isinstance(out, dict)

@@ -160,3 +160,52 @@ def test_int8_under_mesh_sharding(tiny):
     assert (d1["valid"] == d8["valid"]).all()
     np.testing.assert_allclose(d1["center"], d8["center"], rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(d1["confidence"], d8["confidence"], rtol=2e-4, atol=1e-5)
+
+
+def test_int8_conv_h1_middle_row_slice_exact():
+    """The H=1 kernel-slice workaround (layers._int8_conv) must be exact:
+    an H=1 input with symmetric pad p and kernel 2p+1 must produce
+    BIT-IDENTICAL output to explicitly calling the conv with the middle
+    kernel row and zero H-padding (the dropped rows only ever multiply
+    zero padding). The explicit (1,3) shape is the formulation verified
+    exact TPU-vs-CPU in the round-5 backend-bug repro — this pins the
+    internal rewrite onto it (tools/bisect_int8_body.py,
+    docs/PERFORMANCE.md round 5). A float-conv proximity check guards
+    against the failure mode the bug caused (uncorrelated output)."""
+    from audioyolo_tpu.models.layers import _int8_conv
+
+    rng = np.random.default_rng(7)
+    B, W, Cin, Cout = 2, 24, 15, 8
+    x = rng.uniform(-1, 1, (B, 1, W, Cin)).astype(np.float32)
+    k = rng.uniform(-0.5, 0.5, (3, 3, Cin, Cout)).astype(np.float32)
+    bias = rng.uniform(-0.1, 0.1, (Cout,)).astype(np.float32)
+    s_x = np.float32(np.abs(x).max() / 127.0)
+
+    y = np.asarray(_int8_conv(jnp.asarray(x), jnp.asarray(k), jnp.asarray(bias),
+                              jnp.asarray(s_x), (1, 2), (1, 1)))
+    assert y.shape == (B, 1, W // 2, Cout)
+
+    # explicit middle-row slice, no H padding — must be bit-identical.
+    # (weight scales are per-output-channel absmax over the FULL kernel vs
+    # the sliced one — so pre-scale the sliced kernel to keep s_w equal:
+    # absmax rows may live in the dropped rows)
+    k_mid = k[1:2].copy()
+    # force the same per-channel absmax by appending a zero-width no-op?
+    # simpler: only compare when the absmax already lives in the middle row
+    s_full = np.abs(k).max(axis=(0, 1, 2))
+    s_mid = np.abs(k_mid).max(axis=(0, 1, 2))
+    same_scale = s_full == s_mid
+    y_mid = np.asarray(_int8_conv(jnp.asarray(x), jnp.asarray(k_mid),
+                                  jnp.asarray(bias), jnp.asarray(s_x),
+                                  (1, 2), (0, 1)))
+    np.testing.assert_array_equal(y[..., same_scale], y_mid[..., same_scale])
+    assert same_scale.any()  # the comparison actually covered channels
+
+    # proximity to the float conv: the backend bug produced UNCORRELATED
+    # output; int8 quantization noise is bounded
+    yf = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(k), (1, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + bias
+    err = np.abs(y - np.asarray(yf))
+    assert err.max() < 0.05, err.max()
