@@ -388,21 +388,49 @@ def test_int8_dft_framed_streaming_close(trained, tmp_path):
     f_i8 = make_inference_fn(deploy8, folded, 0.1, 0.05, keep_k=32)
     rows_8 = evaluate_audio(f_i8, path, "", frame_fn=fe8.frame_host_int8, **kwargs)
 
-    # event-level agreement via greedy matching (int8 frame rounding can
-    # flip isolated borderline detections on this 8k-param tiny model —
-    # the full-scale gate on the trained demo model is the real arbiter,
-    # docs/PERFORMANCE.md: mAP 0.9512 vs 0.9530)
+    # Agreement is asserted at the DETECTION-COVERAGE level, not by pairing
+    # rows: on this briefly-trained tiny model near-tied NMS proposals flip
+    # under ~1e-3 feature noise, splitting one long event into two (or vice
+    # versa) — pair matching breaks on such segmentation flips even though
+    # the detected time regions agree. Coverage IoU per class is immune to
+    # them; the full-scale gate on the trained demo model is the real
+    # accuracy arbiter (docs/PERFORMANCE.md: composed posture mAP@0.5
+    # 0.9377 vs 0.9461 float).
     assert len(rows_8) > 10
-    used = set()
-    matched = 0
+
+    def coverage(rows, cls):
+        ivs = sorted((r["start"], r["end"]) for r in rows if r["class_idx"] == cls)
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        return merged
+
+    def iou(a, b):
+        def total(iv):
+            return sum(e - s for s, e in iv)
+
+        inter = 0.0
+        for s1, e1 in a:
+            for s2, e2 in b:
+                inter += max(0.0, min(e1, e2) - max(s1, s2))
+        union = total(a) + total(b) - inter
+        return inter / union if union else 1.0
+
+    for cls in range(nc):
+        cov = iou(coverage(rows_f, cls), coverage(rows_8, cls))
+        assert cov > 0.75, (cls, cov)
+
+    # confidences must track closely on events that DO pair cleanly
+    pairs = []
     for a in rows_8:
-        for j, b in enumerate(rows_f):
-            if (j not in used and a["class_idx"] == b["class_idx"]
-                    and abs(a["start"] - b["start"]) < 0.4
-                    and abs(a["end"] - b["end"]) < 0.4
-                    and abs(a["confidence"] - b["confidence"]) < 0.1):
-                used.add(j)
-                matched += 1
+        for b in rows_f:
+            if (a["class_idx"] == b["class_idx"]
+                    and abs(a["start"] - b["start"]) < 0.2
+                    and abs(a["end"] - b["end"]) < 0.2):
+                pairs.append(abs(a["confidence"] - b["confidence"]))
                 break
-    assert matched >= 0.85 * min(len(rows_8), len(rows_f)), (
-        matched, len(rows_8), len(rows_f))
+    assert len(pairs) >= 8, len(pairs)
+    assert np.mean(pairs) < 0.03, np.mean(pairs)

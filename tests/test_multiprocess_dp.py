@@ -125,5 +125,9 @@ def test_two_process_dp_matches_single_process(tmp_path, tiny_cfg):
     assert next_epoch == 1
     _, ref2 = trainer.train(state, One())
     for mp_m, ref in ((mp0["epoch1"], ref1), (mp0["epoch2"], ref2)):
-        for k in ("aggregate_loss", "mean_ciou", "conf_loss", "class_loss", "f1"):
+        for k in ("aggregate_loss", "mean_ciou", "conf_loss", "class_loss"):
             assert mp_m[k] == pytest.approx(ref[k], rel=2e-3, abs=1e-4), k
+        # f1 is a thresholded count: ~1e-4 logit noise between the two
+        # compilations flips borderline cells, so it gets an absolute
+        # tolerance (a real gradient-sync bug shows O(1) divergence here)
+        assert mp_m["f1"] == pytest.approx(ref["f1"], abs=2e-2), "f1"
