@@ -57,21 +57,33 @@ def build_serving_exported(
     """Lower the packed inference function to a multi-platform ``Exported``.
 
     ``input_dtype``: ``"float32"`` or ``"int16"`` (PCM16 waveform shipped
-    as-is; the frontend dequantizes in-graph — ``ops/frontend.py:395``).
-    ``framed=True`` exports the phase-grouped-frames entry instead of the
-    waveform entry (`frame_shape` = (n_ph, n_groups, frame_len) from
-    ``SpectralFrontend.fused``); the host then runs ``frame_host`` and the
-    device only GEMMs.
+    as-is; the frontend dequantizes in-graph — ``ops/frontend.py:395``), or
+    ``"int8"`` with ``framed=True`` — the (q int8 frames, per-clip f32
+    scale) tuple entry of the int8-DFT frontend (``frame_host_int8``), the
+    serving headline posture. ``framed=True`` exports the phase-grouped-
+    frames entry instead of the waveform entry (`frame_shape` =
+    (n_ph, n_groups, frame_len) from ``SpectralFrontend.fused``); the host
+    then runs ``frame_host``/``frame_host_int8`` and the device only GEMMs.
     """
     duration = float(model.cfg.sample_duration)
 
-    def infer_impl(audio: jax.Array) -> jax.Array:
+    def infer_impl(audio) -> jax.Array:
         preds = model.apply(variables, audio, train=False, combine_scales=True)
         dets = detection_postprocess_graph(
             preds, iou_threshold, conf_threshold, duration, keep_k
         )
         return pack_detections(dets)
 
+    if input_dtype == "int8":
+        if not framed or frame_shape is None:
+            raise ValueError("input_dtype='int8' is the framed (q, scale) "
+                             "entry — pass framed=True and frame_shape")
+        spec = (
+            jax.ShapeDtypeStruct((batch_size, *frame_shape), jnp.int8),
+            jax.ShapeDtypeStruct((batch_size,), jnp.float32),
+        )
+        return jax.export.export(jax.jit(infer_impl),
+                                 platforms=list(platforms))(spec)
     dt = {"float32": jnp.float32, "int16": jnp.int16}[input_dtype]
     if framed:
         if frame_shape is None:
@@ -92,12 +104,16 @@ def save_serving_artifact(
     extra_meta: Optional[Dict[str, Any]] = None,
 ) -> None:
     """Write the ``.aytx`` zip (StableHLO blob + JSON metadata)."""
-    in_aval = exported.in_avals[0]
+    in_avals = exported.in_avals
     meta = {
         "artifact_version": ARTIFACT_VERSION,
         "platforms": list(exported.platforms),
-        "input_shape": list(in_aval.shape),
-        "input_dtype": str(in_aval.dtype),
+        # one entry per input leaf: a single waveform/framed tensor, or the
+        # (q int8 frames, f32 scale) pair of the framed-int8 entry
+        "input_shape": (list(in_avals[0].shape) if len(in_avals) == 1
+                        else [list(a.shape) for a in in_avals]),
+        "input_dtype": (str(in_avals[0].dtype) if len(in_avals) == 1
+                        else [str(a.dtype) for a in in_avals]),
         "idx2class_map": {str(k): v for k, v in idx2class_map.items()},
         "sample_duration": float(sample_duration),
         "input_sample_rate": int(input_sample_rate),

@@ -145,3 +145,51 @@ def test_export_framed_entry(tiny, tmp_path):
     m = dets_fr["valid"]
     np.testing.assert_allclose(dets_fr["center"][m], dets_wav["center"][m],
                                atol=1e-4)
+
+
+def test_export_framed_int8_entry(tiny, tmp_path):
+    """The framed-int8 (q, scale) tuple entry — the serving headline
+    posture's input — must export, round-trip, and match the live
+    int8-DFT model's detections exactly (same graph, same input)."""
+    from audioyolo_tpu.ops.frontend import SpectralFrontend
+
+    cfg, model, variables = tiny
+    raw8 = copy.deepcopy(cfg.to_dict())
+    raw8.setdefault("tpu_config", {})["frontend_precision"] = "int8"
+    cfg8 = Config(raw8)
+    model8 = AudioDetectionModel.from_config(cfg8, num_classes=2)
+    fe = SpectralFrontend(cfg8)
+    assert fe.fused_int8
+    x = _clips(cfg8, 2, seed=29)
+    q, scale = fe.frame_host_int8(x[:, 0, :])
+
+    exp = build_serving_exported(
+        model8, variables, 2, conf_threshold=0.05, keep_k=16,
+        input_dtype="int8", framed=True, frame_shape=tuple(q.shape[1:]),
+        platforms=("cpu",),
+    )
+    p = str(tmp_path / "fi8.aytx")
+    save_serving_artifact(p, exp, idx2class_map={0: "a", 1: "b"},
+                          sample_duration=cfg8.sample_duration,
+                          input_sample_rate=8000)
+    fn, meta = load_serving_artifact(p)
+    assert meta["input_dtype"] == ["int8", "float32"]
+    assert meta["input_shape"] == [[2, *q.shape[1:]], [2]]
+    dets = fn((q, scale))
+
+    live = make_inference_fn(model8, variables, conf_threshold=0.05,
+                             keep_k=16, packed=True)
+    dets_live = unpack_detections(np.asarray(live((q, scale))))
+    assert (dets["valid"] == dets_live["valid"]).all()
+    m = dets["valid"]
+    np.testing.assert_allclose(dets["confidence"][m],
+                               dets_live["confidence"][m], atol=1e-5)
+    np.testing.assert_allclose(dets["center"][m], dets_live["center"][m],
+                               atol=1e-4)
+
+
+def test_export_int8_requires_framed(tiny):
+    cfg, model, variables = tiny
+    with pytest.raises(ValueError, match="framed"):
+        build_serving_exported(model, variables, 2, input_dtype="int8",
+                               platforms=("cpu",))

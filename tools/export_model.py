@@ -75,26 +75,36 @@ def main() -> None:
     model = AudioDetectionModel.from_config(
         cfg, num_classes=len(idx2class), deploy=True, dtype=dtype
     )
-    if args.int8_body:
-        from inference import load_calib_batch
-        from audioyolo_tpu.models.quant import calibrate_quant
-
-        calib = load_calib_batch([args.int8_body], cfg)
-        variables = {**variables, "quant": calibrate_quant(model, variables, [calib])}
-
     frame_shape = None
+    framed_int8 = False
+    frame_fn = None
     if args.framed:
         from audioyolo_tpu.ops.frontend import SpectralFrontend
 
         fe = SpectralFrontend(cfg)
         if fe.fused is None:
             raise SystemExit("--framed: fused frontend ineligible for this config")
+        # with tpu_config.frontend_precision: int8 the framed entry is the
+        # (q int8, scale f32) tuple of frame_host_int8 — the serving
+        # headline posture; the exporter follows the config automatically
+        framed_int8 = fe.fused_int8
+        frame_fn = fe.frame_host_int8 if framed_int8 else fe.frame_host
         sample = fe.frame_host(
             __import__("numpy").zeros((1, int(cfg.clip_samples)),
                                       "int16" if args.int16 else "float32")
         )
         frame_shape = tuple(sample.shape[1:])
 
+    if args.int8_body:
+        from inference import load_calib_batch
+        from audioyolo_tpu.models.quant import calibrate_quant
+
+        # calibrate through the SAME entry the artifact will serve
+        calib = load_calib_batch([args.int8_body], cfg, frame_fn=frame_fn)
+        variables = {**variables, "quant": calibrate_quant(model, variables, [calib])}
+
+    input_dtype = ("int8" if framed_int8
+                   else "int16" if args.int16 else "float32")
     exported = build_serving_exported(
         model,
         variables,
@@ -102,7 +112,7 @@ def main() -> None:
         iou_threshold=args.iou_threshold,
         conf_threshold=args.conf_threshold,
         keep_k=int(cfg.raw.get("tpu_config", {}).get("nms_keep", 128)),
-        input_dtype="int16" if args.int16 else "float32",
+        input_dtype=input_dtype,
         framed=args.framed,
         frame_shape=frame_shape,
         platforms=[s.strip() for s in args.platforms.split(",") if s.strip()],
@@ -124,7 +134,7 @@ def main() -> None:
     sz = os.path.getsize(args.output)
     print(f"wrote {args.output} ({sz/1e6:.1f} MB, platforms="
           f"{args.platforms}, input={'framed ' if args.framed else ''}"
-          f"{'int16' if args.int16 else 'float32'} batch={batch_size})")
+          f"{input_dtype} batch={batch_size})")
 
 
 if __name__ == "__main__":
