@@ -295,6 +295,28 @@ class Conv2d(nn.Module):
             return tape(_int8_conv(
                 x, kernel, bias, s_x, _pair(self.strides), (ph, pw)))
 
+        # H=1 inputs (the whole neck: pyramid heights are pooled to 1 —
+        # models/neck.py): with symmetric pad p and kernel 2p+1, only the
+        # middle kernel row ever touches data, so slice it in-graph — the
+        # dropped rows multiply zeros (exact: adding 0.0 terms never changes
+        # an fp sum), and the conv's MACs fall 3x in forward AND backward.
+        # Params keep the reference (kh, kw) layout (checkpoints, EMA,
+        # optimizer state unaffected). Same geometry the int8 path slices
+        # below — there it is also the workaround for a backend bug.
+        if x.shape[1] == 1 and kh == 2 * ph + 1 and kh > 1:
+            kernel, bias = _ConvParams(
+                self.features, (kh, kw), x.shape[-1], self.use_bias,
+                name="conv")()
+            dt = self.dtype or x.dtype
+            y = jax.lax.conv_general_dilated(
+                x.astype(dt), kernel[ph : ph + 1].astype(dt),
+                _pair(self.strides), [(0, 0), (pw, pw)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if bias is not None:
+                y = y + bias.astype(dt)
+            return tape(y)
+
         fold = self.s2d
         if fold is not None:
             fh, fw = fold
