@@ -45,7 +45,12 @@ def trained(tmp_path_factory):
     tx = make_optimizer(cfg.raw["train_config"]["optimizer_config"], None, len(loader))
     trainer = TrainerPipeline(model, loss_fn, tx, metrics_path="/tmp/ig", model_path="/tmp/ig")
     state = trainer.create_state(ds[0]["audio"][None])
-    for _ in range(3):
+    # 8 epochs, not 3: the module's cross-posture comparisons (int8-DFT vs
+    # float frontend, fold equivalence on real features) need a model whose
+    # detections are not marginal — a 3-epoch model's near-threshold events
+    # reshuffled with every XLA graph change and kept breaking tolerance
+    # tests that were really asserting "same detections, tiny noise"
+    for _ in range(8):
         state, _ = trainer.train(state, loader)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     return cfg, model, variables, ds.class2idx
