@@ -340,6 +340,21 @@ class DeviceCachedLoader:
             yield batch
 
     @classmethod
+    def wrap_from_config(cls, loader: BatchLoader, tpu_cfg: dict):
+        """The ONE home of the cache-enable policy shared by train.py,
+        evaluate_model.py and the gate tools: ``device_cache_dataset`` =
+        "auto" (default; cache when the dataset fits
+        ``device_cache_max_mb``), "true"/"1"/"on" (cache regardless of
+        size) or "false"/"0"/"off" (never)."""
+        mode = str((tpu_cfg or {}).get("device_cache_dataset", "auto")).lower()
+        if mode in ("false", "0", "off"):
+            return loader
+        max_mb = float((tpu_cfg or {}).get("device_cache_max_mb", 512.0))
+        if mode in ("true", "1", "on"):
+            max_mb = float("inf")
+        return cls.wrap(loader, max_mb=max_mb)
+
+    @classmethod
     def wrap(cls, loader: BatchLoader, max_mb: float = 512.0):
         """Return a device-cached view of ``loader`` when the dataset fits
         the budget (estimated in the transfer layout), else ``loader``

@@ -91,6 +91,7 @@ def _worker_main() -> int:
                 t1 = time.time()
                 out = {"ok": True, "t0": t0, "t1": t1,
                        "seconds": t1 - t0, "mb": probe_state["mb"]}
+                probe_state.pop("buf", None)  # one-shot: release the MBs
             elif job["op"] == "span":
                 rows = evaluate_audio(
                     infer_fn,

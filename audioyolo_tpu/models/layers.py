@@ -88,15 +88,25 @@ class BatchNorm(nn.Module):
             n = 1
             for a in axes:
                 n *= x.shape[a]
-            # one-pass statistics: E[x^2] - E[x]^2 lets XLA horizontally
-            # fuse both reductions into a single read of x, where the
-            # two-pass mean-then-centered-square form forces two sequential
-            # sweeps (measured ~2 ms/step of convert_reduce fusions at
-            # B=128 on v5e — docs/PERFORMANCE.md round 5). fp32 accumulate;
-            # the clamp guards the subtraction's cancellation. Same biased-
-            # variance value as torch to fp32 rounding.
-            mean = jnp.mean(xf, axis=axes)
-            var = jnp.maximum(jnp.mean(xf * xf, axis=axes) - mean * mean, 0.0)
+            # One-pass statistics: both moments from a single fused read of
+            # x, where the two-pass mean-then-centered-square form forces
+            # two sequential sweeps (measured ~2 ms/step of convert_reduce
+            # fusions at B=128 on v5e — docs/PERFORMANCE.md round 5).
+            # Computed in the COMPENSATED form, shifted by the running mean
+            # c: var = E[(x-c)^2] - (E[x]-c)^2. The naive E[x^2]-E[x]^2
+            # cancels catastrophically in fp32 when a channel's mean^2
+            # dwarfs its variance (mean ~500, std ~0.05 loses ALL variance
+            # bits); with the shift the cancellation term is
+            # (batch_mean - running_mean)^2 / var, which collapses as soon
+            # as the running stats track the data (and is exactly the
+            # naive form only at step 0, where conv outputs on
+            # standardized features are near zero-mean anyway). stop-
+            # gradient: c is a constant shift, the algebra is exact.
+            c = jax.lax.stop_gradient(ra_mean.value)
+            xs = xf - c
+            m1 = jnp.mean(xs, axis=axes)
+            mean = c + m1
+            var = jnp.maximum(jnp.mean(xs * xs, axis=axes) - m1 * m1, 0.0)
             if not self.is_initializing():
                 unbiased = var * (n / max(n - 1, 1))
                 m = self.momentum

@@ -104,16 +104,10 @@ def main():
     # small corpora go device-resident (one bulk ship + on-device gathers
     # instead of per-batch puts through the possibly-degraded tunnel) — the
     # same DeviceCachedLoader demo training uses (data/loader.py)
-    cache_mode = str(tpu_cfg.get("device_cache_dataset", "auto")).lower()
-    if frame_fn is not None:
-        cache_mode = "off"  # host framing needs host-resident audio
-    if cache_mode not in ("false", "0", "off"):
+    if frame_fn is None:  # host framing needs host-resident audio
         from audioyolo_tpu.data.loader import DeviceCachedLoader
 
-        max_mb = float(tpu_cfg.get("device_cache_max_mb", 512.0))
-        if cache_mode in ("true", "1", "on"):
-            max_mb = float("inf")
-        loader = DeviceCachedLoader.wrap(loader, max_mb=max_mb)
+        loader = DeviceCachedLoader.wrap_from_config(loader, tpu_cfg)
     clip = 0
     for batch in loader:
         import jax

@@ -216,3 +216,43 @@ def test_repvgg_fold_equivalence_strided(rng):
         {"params": folded["params"]}, x, train=False
     )
     np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_dep), rtol=1e-4, atol=1e-4)
+
+
+def test_batchnorm_offset_heavy_variance_accuracy():
+    """Round-5 review finding: the one-pass E[x^2]-E[x]^2 variance cancels
+    catastrophically in fp32 when a channel's mean^2 dwarfs its variance
+    (var clamps to 0 and normalization explodes). The compensated form
+    shifts by the running mean, whose distance to the batch mean is bounded
+    by the per-step drift rate in real training — with tracked stats the
+    variance must match a float64 reference even at mean/std ~ 10,000."""
+    import jax
+    import jax.numpy as jnp
+    from flax.core import unfreeze
+
+    from audioyolo_tpu.models.layers import BatchNorm
+
+    rng = np.random.default_rng(5)
+    c = 6
+    means = np.array([0.0, 1.0, -3.0, 500.0, -800.0, 250.0], np.float32)
+    stds = np.array([1.0, 0.5, 2.0, 0.05, 0.08, 0.02], np.float32)
+    x = (means + stds * rng.standard_normal((4, 8, 16, c))).astype(np.float32)
+
+    bn = BatchNorm()
+    v = bn.init(jax.random.PRNGKey(0), jnp.asarray(x), use_running_average=False)
+    v = unfreeze(v) if hasattr(v, "unfreeze") else dict(v)
+    # tracked running stats: within one drift step of the batch statistics
+    bs = dict(v["batch_stats"])
+    bs["mean"] = jnp.asarray(means + 0.1 * stds)
+    bs["var"] = jnp.asarray(stds**2)
+    v["batch_stats"] = bs
+    y, _ = bn.apply(v, jnp.asarray(x), use_running_average=False,
+                    mutable=["batch_stats"])
+
+    x64 = x.astype(np.float64)
+    m64 = x64.mean(axis=(0, 1, 2))
+    v64 = ((x64 - m64) ** 2).mean(axis=(0, 1, 2))
+    ref = (x64 - m64) / np.sqrt(v64 + 1e-5)
+    np.testing.assert_allclose(np.asarray(y), ref, atol=5e-2)
+    # the naive form clamps var to ~0 here and the output explodes to
+    # O(std/sqrt(eps)) ~ 1e1-1e2x the true normalized values — the atol
+    # above fails loudly on that failure mode

@@ -185,21 +185,15 @@ def test_int8_conv_h1_middle_row_slice_exact():
                               jnp.asarray(s_x), (1, 2), (1, 1)))
     assert y.shape == (B, 1, W // 2, Cout)
 
-    # explicit middle-row slice, no H padding — must be bit-identical.
-    # (weight scales are per-output-channel absmax over the FULL kernel vs
-    # the sliced one — so pre-scale the sliced kernel to keep s_w equal:
-    # absmax rows may live in the dropped rows)
+    # explicit middle-row slice, no H padding — must be bit-identical on
+    # EVERY channel: _int8_conv slices the kernel BEFORE computing the
+    # per-channel weight scales, so both calls quantize the identical
+    # middle-row kernel (dropped rows never influence s_w)
     k_mid = k[1:2].copy()
-    # force the same per-channel absmax by appending a zero-width no-op?
-    # simpler: only compare when the absmax already lives in the middle row
-    s_full = np.abs(k).max(axis=(0, 1, 2))
-    s_mid = np.abs(k_mid).max(axis=(0, 1, 2))
-    same_scale = s_full == s_mid
     y_mid = np.asarray(_int8_conv(jnp.asarray(x), jnp.asarray(k_mid),
                                   jnp.asarray(bias), jnp.asarray(s_x),
                                   (1, 2), (0, 1)))
-    np.testing.assert_array_equal(y[..., same_scale], y_mid[..., same_scale])
-    assert same_scale.any()  # the comparison actually covered channels
+    np.testing.assert_array_equal(y, y_mid)
 
     # proximity to the float conv: the backend bug produced UNCORRELATED
     # output; int8 quantization noise is bounded

@@ -74,10 +74,11 @@ def test_steps_per_dispatch_matches_single(tmp_path, tiny_cfg):
         # is +-lr regardless of magnitude. The outlier FRACTION is not even
         # stable across runs on this host (the CPU AOT cache's machine-
         # feature-gated loads change which fusions recompile: measured
-        # 0.2%-1.1% for the identical test), so the guard is the bulk
-        # quantile + the max bound — a real state-threading bug puts ~all
+        # 0.2%-1.1% for the identical test), so the guard is the p97
+        # quantile (measured noise fraction 0.2-1.1%, so p97 has headroom
+        # while still failing if >3% of params drift) + the max bound — a real state-threading bug puts ~all
         # params at O(lr)=1e-3+, failing both instantly.
-        assert np.quantile(diff, 0.9) < 1e-4, np.quantile(diff, 0.9)
+        assert np.quantile(diff, 0.97) < 1e-4, np.quantile(diff, 0.97)
         assert diff.max() < 6e-3  # bounded by ~lr per step, 5 steps
     assert int(s1.step) == int(s2.step) == 5
 
@@ -181,7 +182,7 @@ def test_data_parallel_matches_single_device(tmp_path, tiny_cfg):
         # ~lr-sized outliers, but the bulk must match. (quantile guard, not
         # an outlier fraction: see test_steps_per_dispatch_matches_single —
         # the fraction varies run-to-run with AOT-cache fusion draws)
-        assert np.quantile(diff, 0.9) < 1e-4, np.quantile(diff, 0.9)
+        assert np.quantile(diff, 0.97) < 1e-4, np.quantile(diff, 0.97)
         assert diff.max() < 3e-3  # bounded by ~2*lr
 
 

@@ -147,8 +147,8 @@ def main():
 
     loader = BatchLoader(ds, 16, shuffle=False, last_batch="partial",
                          transfer_dtype="int16")
-    loader = DeviceCachedLoader.wrap(loader, max_mb=float(
-        cfg.raw.get("tpu_config", {}).get("device_cache_max_mb", 512.0)))
+    loader = DeviceCachedLoader.wrap_from_config(
+        loader, cfg.raw.get("tpu_config", {}))
 
     results = []
     dets = {}

@@ -126,19 +126,14 @@ def run(cfg, data_parallel: bool = False, resume: bool = False):
     # the target arrays. Decisive when the tunnelled pipe degrades
     # (docs/PERFORMANCE.md round 4). "auto" caches when the dataset fits
     # device_cache_max_mb; multi-host sharded loaders are never cached.
-    cache_mode = str(tpu_cfg.get("device_cache_dataset", "auto")).lower()
-    if cache_mode not in ("false", "0", "off"):
-        from audioyolo_tpu.data.loader import DeviceCachedLoader
+    from audioyolo_tpu.data.loader import DeviceCachedLoader
 
-        max_mb = float(tpu_cfg.get("device_cache_max_mb", 512.0))
-        if cache_mode in ("true", "1", "on"):
-            max_mb = float("inf")
-        train_loader = DeviceCachedLoader.wrap(train_loader, max_mb=max_mb)
-        eval_loader = DeviceCachedLoader.wrap(eval_loader, max_mb=max_mb)
-        for name, ld in (("train", train_loader), ("eval", eval_loader)):
-            if isinstance(ld, DeviceCachedLoader):
-                print(f"[device-cache] {name} dataset resident on device "
-                      f"({ld.nbytes / 1e6:.0f} MB)")
+    train_loader = DeviceCachedLoader.wrap_from_config(train_loader, tpu_cfg)
+    eval_loader = DeviceCachedLoader.wrap_from_config(eval_loader, tpu_cfg)
+    for name, ld in (("train", train_loader), ("eval", eval_loader)):
+        if isinstance(ld, DeviceCachedLoader):
+            print(f"[device-cache] {name} dataset resident on device "
+                  f"({ld.nbytes / 1e6:.0f} MB)")
 
     dtype = None
     if tpu_cfg.get("compute_dtype") in ("bfloat16", "bf16"):
